@@ -1,0 +1,156 @@
+"""Scene data model as JAX pytrees (struct-of-arrays).
+
+The reference keeps an array-of-structs host model
+(``src/sceneStructs.h:13-55``: Ray/Geom/Material/Camera/RenderState).
+On TPU the idiomatic layout is struct-of-arrays: every field is a
+stacked array over the geometry/material axis, so intersection and
+shading are batched elementwise ops on the VPU.
+
+``Materials`` and the TRS fields of ``Geoms`` (plus camera vectors) are
+the *differentiable parameter pytree* — gradients of a pixel loss flow
+into them through the bounce loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+
+# Geometry type codes (src/sceneStructs.h:8-11 has SPHERE, CUBE; MESH is
+# the reserved extension at README.md:236-237).
+SPHERE = 0
+CUBE = 1
+MESH = 2
+
+
+def _pytree(cls=None, *, meta=()):
+    """Register a dataclass as a JAX pytree with ``meta`` static fields."""
+
+    def wrap(c):
+        c = dataclass(c)
+        data_fields = [f.name for f in dataclasses.fields(c) if f.name not in meta]
+        jax.tree_util.register_dataclass(
+            c, data_fields=data_fields, meta_fields=list(meta)
+        )
+        return c
+
+    return wrap(cls) if cls is not None else wrap
+
+
+@_pytree
+class Materials:
+    """SoA material table; mirrors ``Material`` (src/sceneStructs.h:29-39).
+
+    Every leaf has leading axis M (number of materials).
+    """
+
+    color: Any          # (M, 3) diffuse albedo (RGB)
+    spec_exponent: Any  # (M,)   SPECEX
+    spec_color: Any     # (M, 3) SPECRGB
+    has_reflective: Any  # (M,)  REFL (used as the specular-lobe probability)
+    has_refractive: Any  # (M,)  REFR
+    ior: Any            # (M,)   REFRIOR
+    emittance: Any      # (M,)   EMITTANCE; light iff > 0 (README.md:219)
+
+    @property
+    def count(self):
+        return self.color.shape[0]
+
+
+@_pytree(meta=("type",))
+class Geoms:
+    """SoA geometry instances; mirrors ``Geom`` (src/sceneStructs.h:18-27).
+
+    ``type`` is *static metadata* (a tuple of ints): primitive kinds are
+    scene structure, and keeping them static lets the tracer emit only
+    the matching intersection test per geom instead of both.  Transforms
+    are *derived in-graph* from TRS via
+    :func:`pathtrace_tpu.core.vecmath.trs_matrix` so geometry gradients
+    flow (the reference precomputes them host-side, src/scene.cpp:82-85).
+    """
+
+    type: tuple       # (G,) tuple of SPHERE / CUBE / MESH ints — static
+    material_id: Any  # (G,) int32
+    translation: Any  # (G, 3)
+    rotation: Any     # (G, 3) degrees (Euler XYZ, applied T@Rx@Ry@Rz@S)
+    scale: Any        # (G, 3)
+
+    @property
+    def count(self):
+        return len(self.type)
+
+
+@_pytree
+class TriMesh:
+    """Triangle soup for MESH geoms, object space.
+
+    ``tri_verts[t]`` are the three vertices of triangle ``t``;
+    ``tri_geom[t]`` indexes into :class:`Geoms` for the instance
+    transform and material (the role ``glm::intersectRayTriangle`` plays
+    per README.md:116).  ``tri_verts.shape[0] == 0`` means no mesh.
+    """
+
+    tri_verts: Any  # (T, 3, 3)
+    tri_geom: Any   # (T,) int32
+
+    @property
+    def count(self):
+        return self.tri_verts.shape[0]
+
+
+@_pytree
+class Camera:
+    """Mirrors ``Camera`` (src/sceneStructs.h:41-47) + DoF extension.
+
+    ``resolution`` is static metadata (shapes derive from it); the
+    vectors/fov are leaves so camera gradients are possible.
+    """
+
+    position: Any   # (3,) EYE
+    view: Any       # (3,) VIEW
+    up: Any         # (3,) UP
+    fovy_deg: Any   # ()   FOVY (vertical half-angle in degrees)
+    aperture: Any   # ()   lens radius; 0 disables depth-of-field
+    focal_dist: Any  # ()  focal-plane distance for DoF
+
+
+@_pytree(meta=("resolution", "trace_depth", "iterations", "image_name"))
+class Scene:
+    """Full scene: parameter pytree + static render settings.
+
+    Static fields come from the CAMERA block (RES / ITERATIONS / DEPTH /
+    FILE, src/scene.cpp:103-114) and fix array shapes / loop bounds.
+    """
+
+    materials: Materials
+    geoms: Geoms
+    mesh: TriMesh
+    camera: Camera
+    resolution: tuple   # (width, height)
+    trace_depth: int
+    iterations: int
+    image_name: str
+
+    @property
+    def width(self):
+        return self.resolution[0]
+
+    @property
+    def height(self):
+        return self.resolution[1]
+
+    @property
+    def pixel_count(self):
+        return self.resolution[0] * self.resolution[1]
+
+
+def empty_mesh(dtype=np.float32) -> TriMesh:
+    return TriMesh(
+        tri_verts=np.zeros((0, 3, 3), dtype=dtype),
+        tri_geom=np.zeros((0,), dtype=np.int32),
+    )

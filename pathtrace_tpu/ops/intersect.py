@@ -1,0 +1,268 @@
+"""Batched ray–primitive intersection (the role of ``src/intersections.h``).
+
+Semantics replicate the reference *exactly* so fixed-RNG images match:
+
+* unit primitives + instance transforms: cube is [-0.5,0.5]^3, sphere has
+  radius 0.5 (``src/intersections.h:39-41,94``);
+* object-space ray direction is re-normalized after the inverse
+  transform (``:51,106``), so object-space t values are object-space
+  distances;
+* the hit point backs off the surface by 1e-4 *in object space* along
+  the normalized object ray (``getPointOnRay``, ``:26-28,84,134``);
+* the returned metric is the **world-space distance** from the ray
+  origin to the (backed-off) world hit point, not a ray parameter
+  (``:86,142``) — this is what nearest-hit selection compares;
+* inside hits flip the reported normal toward the incoming ray
+  (sphere ``:138-140``; the box's tmax-face normal already faces the
+  interior ``:77-83``), and ``outside=False`` is reported;
+* quirk preserved: the box transforms its normal by the *forward*
+  transform (``:85``) while the sphere uses the inverse-transpose
+  (``:137``);
+* division by zero-direction components relies on IEEE inf (``:59``).
+
+Everything is elementwise over an (N, G) ray×geom broadcast — pure VPU
+work under XLA; the Pallas megakernel in ``ops/pallas`` tiles the same
+math through VMEM.  All functions take ``xp`` (jnp or numpy) so the CPU
+oracle and interpret-mode tests share one semantic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.constants import NO_HIT, RAY_OFFSET
+from ..core import vecmath as vm
+from ..core import types as T
+
+
+def _rows_apply(m3, v, xp=jnp):
+    """m3 (G,3,3) applied to v (N,3) -> (N,G,3), explicit f32 mul-adds.
+
+    Deliberately NOT einsum: XLA lowers dot-general at default (bf16)
+    precision, which is ruinous for thin-walled instance transforms
+    (a 0.01-scaled cornell wall amplifies object-space error 100x).
+    K=3 contractions gain nothing from the MXU; the VPU does these at
+    full f32, bit-comparable with the NumPy oracle.
+    """
+    vx, vy, vz = v[:, None, 0], v[:, None, 1], v[:, None, 2]
+    return xp.stack(
+        [
+            m3[None, :, i, 0] * vx + m3[None, :, i, 1] * vy
+            + m3[None, :, i, 2] * vz
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def _pair_apply(m3, v, xp=jnp):
+    """m3 (G,3,3) applied to v (N,G,3) -> (N,G,3), explicit f32 mul-adds."""
+    return xp.stack(
+        [
+            m3[None, :, i, 0] * v[..., 0] + m3[None, :, i, 1] * v[..., 1]
+            + m3[None, :, i, 2] * v[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def _transform_rays(inv, origins, dirs, xp=jnp):
+    """Rays → object space of each geom. origins/dirs (N,3), inv (G,4,4).
+    Returns (N,G,3) object origins and *normalized* object directions."""
+    ro = _rows_apply(inv[:, :3, :3], origins, xp=xp) + inv[:, :3, 3][None]
+    rd = vm.normalize(_rows_apply(inv[:, :3, :3], dirs, xp=xp), xp=xp)
+    return ro, rd
+
+
+def intersect_boxes(origins, dirs, fwd, inv, xp=jnp):
+    """Slab test vs unit cubes. Returns (dist, point, normal, outside),
+    shapes (N,G), (N,G,3), (N,G,3), (N,G). dist==NO_HIT on miss."""
+    ro, rd = _transform_rays(inv, origins, dirs, xp=xp)  # (N,G,3)
+
+    t1 = (-0.5 - ro) / rd
+    t2 = (0.5 - ro) / rd
+    ta = xp.minimum(t1, t2)
+    tb = xp.maximum(t1, t2)
+    axis_sign = xp.where(t2 < t1, 1.0, -1.0)  # per-axis candidate normal sign
+
+    # tmin = max over axes of ta where ta > 0 (src/intersections.h:66-69)
+    ta_m = xp.where(ta > 0, ta, -1e38)
+    tmin = xp.max(ta_m, axis=-1)
+    near_axis = xp.argmax(ta_m, axis=-1)
+    # tmax = min over axes of tb (src/intersections.h:70-73)
+    tmax = xp.min(tb, axis=-1)
+    far_axis = xp.argmin(tb, axis=-1)
+
+    eye = xp.eye(3, dtype=ro.dtype)
+    near_n = eye[near_axis] * xp.take_along_axis(
+        axis_sign, near_axis[..., None], axis=-1
+    )
+    far_n = eye[far_axis] * xp.take_along_axis(
+        axis_sign, far_axis[..., None], axis=-1
+    )
+
+    hit = (tmax >= tmin) & (tmax > 0)
+    inside = tmin <= 0
+    t_use = xp.where(inside, tmax, tmin)
+    n_obj = xp.where(inside[..., None], far_n, near_n)
+    outside = hit & ~inside
+
+    p_obj = ro + (t_use[..., None] - RAY_OFFSET) * rd
+    point = _pair_apply(fwd[:, :3, :3], p_obj, xp=xp) + fwd[:, :3, 3][None]
+    # Quirk preserved: normal via the *forward* transform (src/intersections.h:85)
+    normal = vm.normalize(_pair_apply(fwd[:, :3, :3], n_obj, xp=xp), xp=xp)
+    dist = vm.norm(origins[:, None, :] - point, xp=xp)[..., 0]
+    dist = xp.where(hit, dist, NO_HIT)
+    return dist, point, normal, outside
+
+
+def intersect_spheres(origins, dirs, fwd, inv, inv_t, xp=jnp):
+    """Quadratic test vs unit spheres (radius 0.5). Same returns as boxes."""
+    ro, rd = _transform_rays(inv, origins, dirs, xp=xp)
+
+    v_dot_d = xp.sum(ro * rd, axis=-1)
+    radicand = v_dot_d * v_dot_d - (xp.sum(ro * ro, axis=-1) - 0.25)
+    has_root = radicand >= 0
+    sq = xp.sqrt(xp.where(has_root, radicand, 1.0))
+    t1 = -v_dot_d + sq
+    t2 = -v_dot_d - sq
+
+    both_neg = (t1 < 0) & (t2 < 0)
+    both_pos = (t1 > 0) & (t2 > 0)
+    t_use = xp.where(both_pos, xp.minimum(t1, t2), xp.maximum(t1, t2))
+    outside_raw = both_pos
+    hit = has_root & ~both_neg
+
+    p_obj = ro + (t_use[..., None] - RAY_OFFSET) * rd
+    point = _pair_apply(fwd[:, :3, :3], p_obj, xp=xp) + fwd[:, :3, 3][None]
+    normal = vm.normalize(
+        _pair_apply(inv_t[:, :3, :3], p_obj, xp=xp), xp=xp, eps=1e-20
+    )
+    normal = xp.where(outside_raw[..., None], normal, -normal)
+    dist = vm.norm(origins[:, None, :] - point, xp=xp)[..., 0]
+    dist = xp.where(hit, dist, NO_HIT)
+    return dist, point, normal, hit & outside_raw
+
+
+def intersect_triangles(origins, dirs, tri_verts, tri_geom, fwd, inv, inv_t,
+                        xp=jnp):
+    """Möller–Trumbore vs object-space triangles instanced by ``tri_geom``.
+
+    origins/dirs (N,3); tri_verts (T,3,3); tri_geom (T,) indexes the geom
+    transform stacks.  Returns (dist, point, normal, outside) with shapes
+    (N,T), (N,T,3), (N,T,3), (N,T).  Follows the same object-space
+    normalize + back-off + world-distance conventions as the primitive
+    tests so nearest-hit selection is consistent.
+    """
+    inv_g = inv[tri_geom]      # (T,4,4)
+    fwd_g = fwd[tri_geom]
+    inv_t_g = inv_t[tri_geom]
+
+    ro = _rows_apply(inv_g[:, :3, :3], origins, xp=xp) + inv_g[:, :3, 3][None]
+    rd = vm.normalize(_rows_apply(inv_g[:, :3, :3], dirs, xp=xp), xp=xp)
+
+    v0, v1, v2 = tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]  # (T,3)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = vm.cross(rd, xp.broadcast_to(e2[None], rd.shape), xp=xp)
+    det = xp.sum(pvec * e1[None], axis=-1)
+    det_safe = xp.where(xp.abs(det) > 1e-12, det, 1.0)
+    inv_det = 1.0 / det_safe
+    tvec = ro - v0[None]
+    u = xp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = vm.cross(tvec, xp.broadcast_to(e1[None], tvec.shape), xp=xp)
+    v = xp.sum(rd * qvec, axis=-1) * inv_det
+    t = xp.sum(e2[None] * qvec, axis=-1) * inv_det
+
+    hit = (
+        (xp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+
+    p_obj = ro + (t[..., None] - RAY_OFFSET) * rd
+    point = _pair_apply(fwd_g[:, :3, :3], p_obj, xp=xp) + fwd_g[:, :3, 3][None]
+    n_obj = vm.normalize(
+        xp.broadcast_to(vm.cross(e1, e2, xp=xp)[None], rd.shape), xp=xp, eps=1e-20
+    )
+    outside_raw = xp.sum(rd * n_obj, axis=-1) < 0.0
+    n_obj = xp.where(outside_raw[..., None], n_obj, -n_obj)
+    normal = vm.normalize(
+        _pair_apply(inv_t_g[:, :3, :3], n_obj, xp=xp), xp=xp, eps=1e-20
+    )
+    dist = vm.norm(origins[:, None, :] - point, xp=xp)[..., 0]
+    dist = xp.where(hit, dist, NO_HIT)
+    return dist, point, normal, hit & outside_raw
+
+
+def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
+                    tri_verts=None, tri_geom=None, xp=jnp):
+    """Nearest hit over all geoms (and mesh triangles if present).
+
+    Returns a dict with per-ray fields: ``dist`` (N,), ``hit`` (N,) bool,
+    ``point``/``normal`` (N,3), ``geom_idx`` (N,) int32, ``outside`` (N,)
+    bool.  Misses keep dist==NO_HIT and geom_idx==0.
+
+    This is the per-depth hot loop (spec'd at src/pathtrace.cu:193-196):
+    O(rays × geoms) with no BVH, evaluated branchlessly.  Structured as a
+    *running-min over geoms* (unrolled: G is small and static) rather
+    than a materialized (N, G) broadcast — keeps live temporaries at
+    O(N·3) so megaray wavefronts never blow HBM, and XLA fuses each
+    geom's test into the carry update.  Strict ``<`` preserves the
+    reference's first-geom-wins tie rule (argmin order).
+    """
+    n = origins.shape[0]
+    best = dict(
+        dist=xp.full((n,), NO_HIT, dtype=origins.dtype),
+        point=xp.zeros_like(origins),
+        normal=xp.zeros_like(origins),
+        outside=xp.zeros((n,), dtype=bool),
+        geom_idx=xp.zeros((n,), dtype=xp.int32),
+    )
+
+    def fold(best, d, p, nr, o, gidx):
+        better = d < best["dist"]
+        b3 = better[:, None]
+        return dict(
+            dist=xp.where(better, d, best["dist"]),
+            point=xp.where(b3, p, best["point"]),
+            normal=xp.where(b3, nr, best["normal"]),
+            outside=xp.where(better, o, best["outside"]),
+            geom_idx=xp.where(better, gidx, best["geom_idx"]),
+        )
+
+    types = [int(t) for t in geom_type]  # static scene structure
+
+    for g in range(len(types)):
+        # Static types mean only the matching primitive test is emitted.
+        if types[g] == T.MESH:
+            continue  # mesh placeholder geoms hit via their triangles
+        sl = slice(g, g + 1)
+        if types[g] == T.SPHERE:
+            d, p, nr, o = intersect_spheres(
+                origins, dirs, fwd[sl], inv[sl], inv_t[sl], xp=xp
+            )
+        else:
+            d, p, nr, o = intersect_boxes(
+                origins, dirs, fwd[sl], inv[sl], xp=xp
+            )
+        best = fold(
+            best, d[:, 0], p[:, 0], nr[:, 0], o[:, 0],
+            xp.full((n,), g, dtype=xp.int32),
+        )
+
+    if tri_verts is not None and tri_verts.shape[0] > 0:
+        d_tri, p_tri, n_tri, o_tri = intersect_triangles(
+            origins, dirs, tri_verts, tri_geom, fwd, inv, inv_t, xp=xp
+        )
+        bt = xp.argmin(d_tri, axis=1)
+        take = lambda a: xp.take_along_axis(a, bt[:, None], axis=1)[:, 0]
+        take3 = lambda a: xp.take_along_axis(a, bt[:, None, None], axis=1)[:, 0]
+        best = fold(
+            best, take(d_tri), take3(p_tri), take3(n_tri), take(o_tri),
+            xp.asarray(tri_geom, dtype=xp.int32)[bt],
+        )
+
+    best["hit"] = best["dist"] < NO_HIT
+    return best

@@ -1,0 +1,295 @@
+"""Wavefront path-tracing integrator — TPU-native core.
+
+This is the component the reference leaves as the specified TODO in
+``pathtrace()`` (``src/pathtrace.cu:135-162``): raygen → per-depth
+{intersect, shade/scatter, terminate, compact} → accumulate.  Here the
+whole iteration is one jitted function:
+
+* the per-depth loop is ``lax.scan`` over bounce index, carrying a
+  fixed-shape ray struct-of-arrays (origins, dirs, throughput, radiance,
+  pixel ids, live mask) — XLA traces one bounce and reuses it;
+* "stream compaction" under static shapes is a *mode*:
+  ``mask`` keeps dead lanes predicated off (VPU lanes don't pay SIMT
+  divergence), ``sort`` densifies live rays to the front each bounce via
+  a stable argsort on the dead flag — the XLA-friendly recast of the
+  GPU Gems 3 ch.39 scan-compact the reference requires (README.md:83-86),
+  and the layout the Pallas tile-skip kernel exploits;
+* RNG draws are pure functions of (iter, pixel, depth, draw)
+  (:mod:`pathtrace_tpu.core.rng`), mirroring the seeding discipline of
+  ``makeSeededRandomEngine`` (src/pathtrace.cu:41-45) — so results are
+  independent of lane order, compaction mode, sharding, and chunking;
+* per-bounce live-ray counts are returned as first-class metrics (the
+  analysis the reference mandates at README.md:284-293).
+
+Accumulation convention matches the reference: each iteration adds one
+sample per pixel into a running float image; display/save divide by the
+iteration count (src/pathtrace.cu:98-117, src/main.cpp:49-70).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core import vecmath as vm
+from ..core.constants import PI
+from ..core.rng import Draw
+from ..core.types import Scene
+from ..ops.bsdf import sample_bsdf
+from ..ops.intersect import intersect_scene
+
+
+def camera_basis(camera, width, height, xp=jnp):
+    """(view, right, up, tan_fovx, tan_fovy).
+
+    fovx is derived from fovy and the aspect ratio exactly as
+    src/scene.cpp:133-136 (tan(fovx) = tan(fovy) * w / h).
+    """
+    view = vm.normalize(camera.view, xp=xp)
+    right = vm.normalize(vm.cross(view, camera.up, xp=xp), xp=xp)
+    up = vm.normalize(vm.cross(right, view, xp=xp), xp=xp)
+    tan_y = xp.tan(camera.fovy_deg * (PI / 180.0))
+    tan_x = tan_y * (width / height)
+    return view, right, up, tan_x, tan_y
+
+
+def raygen(camera, width, height, it, pixel_ids, xp=jnp):
+    """Camera rays with per-pixel AA jitter and thin-lens depth-of-field.
+
+    AA: the sample point is (x+u, y+v), u,v ~ U[0,1) over the pixel
+    footprint (README.md:77-79).  DoF: jitter the origin on a disk of
+    radius ``aperture`` and re-aim at the focal plane (README.md:100-101);
+    aperture == 0 reduces exactly to the pinhole ray.
+    """
+    view, right, up, tan_x, tan_y = camera_basis(camera, width, height, xp=xp)
+    x = (pixel_ids % width).astype("float32")
+    y = (pixel_ids // width).astype("float32")
+    u = rng.uniform(it, pixel_ids, 0, Draw.AA_X, xp=xp)
+    v = rng.uniform(it, pixel_ids, 0, Draw.AA_Y, xp=xp)
+    sx = 2.0 * (x + u) / width - 1.0
+    sy = 2.0 * (y + v) / height - 1.0
+    d = vm.normalize(
+        view[None]
+        - right[None] * (tan_x * sx)[:, None]
+        - up[None] * (tan_y * sy)[:, None],
+        xp=xp,
+    )
+    o = xp.broadcast_to(camera.position[None], d.shape)
+
+    # thin-lens DoF (PBRT 6.2.3 style), identity when aperture == 0
+    u1 = rng.uniform(it, pixel_ids, 0, Draw.DOF_U, xp=xp)
+    u2 = rng.uniform(it, pixel_ids, 0, Draw.DOF_V, xp=xp)
+    r_lens = camera.aperture * xp.sqrt(u1)
+    theta = u2 * (2.0 * PI)
+    offset = (
+        right[None] * (r_lens * xp.cos(theta))[:, None]
+        + up[None] * (r_lens * xp.sin(theta))[:, None]
+    )
+    cos_v = vm.dot(d, xp.broadcast_to(view[None], d.shape), xp=xp)
+    ft = camera.focal_dist / xp.maximum(cos_v[..., 0], 1e-6)
+    p_focus = o + d * ft[:, None]
+    use_dof = camera.aperture > 0.0
+    o_dof = o + offset
+    d_dof = vm.normalize(p_focus - o_dof, xp=xp)
+    o = xp.where(use_dof, o_dof, o)
+    d = xp.where(use_dof, d_dof, d)
+    return o, d
+
+
+def geom_transforms(geoms, xp=jnp):
+    """In-graph TRS → (forward, inverse, inverse-transpose) stacks,
+    (G,4,4) each — the precompute of src/scene.cpp:82-85, kept inside the
+    graph so geometry gradients flow."""
+    fwd = vm.trs_matrix(geoms.translation, geoms.rotation, geoms.scale, xp=xp)
+    inv = vm.trs_inverse(geoms.translation, geoms.rotation, geoms.scale, xp=xp)
+    inv_t = xp.swapaxes(inv, -1, -2)
+    return fwd, inv, inv_t
+
+
+def _gather_material(materials, mid, xp=jnp):
+    return dict(
+        color=materials.color[mid],
+        spec_color=materials.spec_color[mid],
+        spec_exponent=materials.spec_exponent[mid],
+        has_reflective=materials.has_reflective[mid],
+        has_refractive=materials.has_refractive[mid],
+        ior=materials.ior[mid],
+        emittance=materials.emittance[mid],
+    )
+
+
+def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp):
+    """One wavefront bounce: intersect → terminate/accumulate → scatter.
+
+    ``state`` is the carried dict; works under jnp (scan body) and numpy
+    (oracle loop) alike.
+    """
+    o, d = state["origins"], state["dirs"]
+    isect = intersect_scene(
+        o, d, scene.geoms.type, fwd, inv, inv_t,
+        tri_verts=scene.mesh.tri_verts if scene.mesh.count else None,
+        tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
+        xp=xp,
+    )
+    mid = scene.geoms.material_id[isect["geom_idx"]]
+    mat = _gather_material(scene.materials, mid, xp=xp)
+
+    live = state["live"]
+    hit = isect["hit"]
+    emissive = mat["emittance"] > 0.0
+
+    # terminate on emissive hit: add throughput * emission to the pixel
+    # (spec src/pathtrace.cu:142-151); misses add nothing (black).
+    add = state["throughput"] * mat["color"] * mat["emittance"][:, None]
+    lit = live & hit & emissive
+    radiance = state["radiance"] + xp.where(lit[:, None], add, 0.0)
+
+    # scatter continuing rays (scatterRay spec, src/interactions.h:44-80)
+    pix = state["pixel"]
+    dep = depth + 1  # depth slot 0 is raygen
+    u = dict(
+        lobe=rng.uniform(it, pix, dep, Draw.LOBE, xp=xp),
+        diff_u1=rng.uniform(it, pix, dep, Draw.DIFF_U1, xp=xp),
+        diff_u2=rng.uniform(it, pix, dep, Draw.DIFF_U2, xp=xp),
+        fresnel=rng.uniform(it, pix, dep, Draw.FRESNEL, xp=xp),
+        spec_u1=rng.uniform(it, pix, dep, Draw.SPEC_U1, xp=xp),
+        spec_u2=rng.uniform(it, pix, dep, Draw.SPEC_U2, xp=xp),
+    )
+    new_dir, thr_mult = sample_bsdf(
+        d, isect["normal"], isect["outside"], mat, u, xp=xp
+    )
+    cont = live & hit & ~emissive
+    c3 = cont[:, None]
+    return dict(
+        origins=xp.where(c3, isect["point"], o),
+        dirs=xp.where(c3, new_dir, d),
+        throughput=xp.where(c3, state["throughput"] * thr_mult,
+                            state["throughput"]),
+        radiance=radiance,
+        pixel=pix,
+        live=cont,
+    )
+
+
+def _densify(state, xp=jnp):
+    """Stable-partition live rays to the front (compaction='sort').
+
+    The XLA-friendly equivalent of scan-compact: a stable argsort on the
+    dead flag is exactly flag-scan-scatter (GPU Gems 3 ch.39) — dead
+    lanes keep relative order too, and RNG keyed on pixel id makes the
+    permutation semantically invisible.
+    """
+    dead = (~state["live"]).astype(jnp.int32)
+    perm = jnp.argsort(dead, stable=True)
+    return {k: v[perm] for k, v in state.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compaction", "remat")
+)
+def pathtrace_iteration(scene: Scene, it, compaction: str = "mask",
+                        remat: bool = True):
+    """One progressive-refinement iteration (1 sample/pixel), jitted.
+
+    Args:
+      scene: the :class:`Scene` pytree (differentiable leaves inside).
+      it: iteration number, 1-based like the reference's ``++iteration``
+        (src/main.cpp:103).
+      compaction: 'mask' | 'sort' (see module docstring).
+      remat: rematerialize each bounce in the backward pass
+        (``jax.checkpoint``) instead of storing all per-bounce wavefront
+        intermediates — the memory strategy for differentiating depth-D
+        loops over megapixel wavefronts.
+
+    Returns:
+      radiance: (P, 3) this iteration's per-pixel radiance sample
+        (add it to the accumulation buffer).
+      live_counts: (depth,) int32 — live rays entering each bounce, the
+        reference's mandated per-bounce instrumentation (README.md:284-293).
+    """
+    width, height = scene.resolution
+    n = width * height
+    fwd, inv, inv_t = geom_transforms(scene.geoms)
+    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    it = jnp.asarray(it, dtype=jnp.int32)
+    origins, dirs = raygen(scene.camera, width, height, it, pixel_ids)
+
+    state = dict(
+        origins=origins,
+        dirs=dirs,
+        throughput=jnp.ones((n, 3), dtype=jnp.float32),
+        radiance=jnp.zeros((n, 3), dtype=jnp.float32),
+        pixel=pixel_ids,
+        live=jnp.ones((n,), dtype=bool),
+    )
+
+    def body(carry, depth):
+        live_in = jnp.sum(carry["live"].astype(jnp.int32))
+        nxt = _bounce(scene, fwd, inv, inv_t, it, depth, carry)
+        if compaction == "sort":
+            nxt = _densify(nxt)
+        return nxt, live_in
+
+    if remat:
+        body = jax.checkpoint(body)
+    state, live_counts = jax.lax.scan(
+        body, state, jnp.arange(scene.trace_depth, dtype=jnp.int32)
+    )
+    # paths still alive after max depth contribute black
+    # (spec src/pathtrace.cu:157-158) — already true: radiance untouched.
+
+    # un-permute radiance back to pixel order (no-op for 'mask')
+    radiance = state["radiance"]
+    if compaction == "sort":
+        radiance = (
+            jnp.zeros_like(radiance).at[state["pixel"]].set(radiance)
+        )
+    return radiance, live_counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "compaction", "remat")
+)
+def pathtrace_batch(scene: Scene, it0, n_iters: int,
+                    compaction: str = "mask", remat: bool = True):
+    """Sum of ``n_iters`` consecutive iterations starting at ``it0``.
+
+    vmapped over the iteration index — the sample axis is the TPU's
+    batch axis, and (with sharding) the axis the device mesh splits.
+    Returns (accumulated radiance (P,3), live_counts (n_iters, depth)).
+    """
+    its = jnp.asarray(it0, dtype=jnp.int32) + jnp.arange(
+        n_iters, dtype=jnp.int32
+    )
+    rad, counts = jax.vmap(
+        lambda i: pathtrace_iteration(scene, i, compaction, remat)
+    )(its)
+    return jnp.sum(rad, axis=0), counts
+
+
+def render(scene: Scene, n_iters: int | None = None, chunk: int = 8,
+           compaction: str = "mask", callback=None):
+    """Run-to-completion progressive render (the role of the reference's
+    runCuda loop, src/main.cpp:72-112), chunking iterations for TPU
+    efficiency.
+
+    Returns the *accumulated* image (P, 3); divide by ``n_iters`` for
+    display (src/pathtrace.cu:58-60).
+    """
+    n_iters = n_iters if n_iters is not None else scene.iterations
+    accum = jnp.zeros((scene.pixel_count, 3), dtype=jnp.float32)
+    done = 0
+    while done < n_iters:
+        step = min(chunk, n_iters - done)
+        rad, counts = pathtrace_batch(
+            scene, done + 1, step, compaction=compaction, remat=False
+        )
+        accum = accum + rad
+        done += step
+        if callback is not None:
+            callback(done, accum, counts)
+    return accum

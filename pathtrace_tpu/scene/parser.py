@@ -1,0 +1,256 @@
+"""Scene-file parser: the reference's exact text grammar, SoA output.
+
+Format compatibility: the line-oriented token format of
+``src/scene.cpp`` + README.md:203-246 — ``MATERIAL n`` followed by
+exactly 7 property lines (``RGB SPECEX SPECRGB REFL REFR REFRIOR
+EMITTANCE``, src/scene.cpp:157-178; note the code spells it SPECEX, not
+the README's SPECX), ``CAMERA`` with 5 fixed lines (RES FOVY ITERATIONS
+DEPTH FILE, src/scene.cpp:99-115) then a free block (EYE VIEW UP) until
+a blank line, and ``OBJECT n`` with a type line, ``material m``, then
+TRANS/ROTAT/SCALE until a blank line (src/scene.cpp:35-90).  Sequential
+ID validation matches src/scene.cpp:37-39,149-151.  The shipped
+``scenes/*.txt`` parse unchanged.
+
+Extensions (all backwards compatible):
+
+* object type ``mesh <path.obj>`` — the reserved keyword at
+  README.md:236-237, resolved relative to the scene file;
+* camera keys ``APERTURE r`` / ``FOCAL d`` in the free block enabling
+  physically-based depth-of-field (README.md:100-101).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import types as T
+from ..core.constants import PI
+from .obj import load_obj
+
+
+class SceneParseError(ValueError):
+    pass
+
+
+def _safe_lines(text: str) -> List[str]:
+    # CR/LF/CRLF-safe, like utilityCore::safeGetline (src/utilities.cpp:82-112)
+    return text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+
+
+def load_scene(path: str) -> T.Scene:
+    with open(path, "r") as f:
+        text = f.read()
+    return parse_scene(text, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
+    lines = _safe_lines(text)
+    pos = 0
+
+    materials: List[dict] = []
+    geoms: List[dict] = []
+    camera: Optional[dict] = None
+    mesh_tris: List[np.ndarray] = []
+    mesh_geom_ids: List[np.ndarray] = []
+
+    def next_line():
+        nonlocal pos
+        if pos >= len(lines):
+            return None
+        line = lines[pos]
+        pos += 1
+        return line
+
+    while True:
+        line = next_line()
+        if line is None:
+            break
+        toks = line.split()
+        if not toks:
+            continue
+        if toks[0] == "MATERIAL":
+            mat_id = int(toks[1])
+            if mat_id != len(materials):
+                raise SceneParseError(
+                    f"MATERIAL ID {mat_id} does not match expected "
+                    f"{len(materials)} (sequential IDs required)"
+                )
+            m = dict(
+                color=(0.0, 0.0, 0.0), spec_exponent=0.0,
+                spec_color=(0.0, 0.0, 0.0), has_reflective=0.0,
+                has_refractive=0.0, ior=0.0, emittance=0.0,
+            )
+            for _ in range(7):  # exactly 7 property lines (src/scene.cpp:157)
+                t = (next_line() or "").split()
+                if not t:
+                    continue
+                key = t[0]
+                if key == "RGB":
+                    m["color"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif key == "SPECEX":
+                    m["spec_exponent"] = float(t[1])
+                elif key == "SPECRGB":
+                    m["spec_color"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif key == "REFL":
+                    m["has_reflective"] = float(t[1])
+                elif key == "REFR":
+                    m["has_refractive"] = float(t[1])
+                elif key == "REFRIOR":
+                    m["ior"] = float(t[1])
+                elif key == "EMITTANCE":
+                    m["emittance"] = float(t[1])
+            materials.append(m)
+        elif toks[0] == "OBJECT":
+            obj_id = int(toks[1])
+            if obj_id != len(geoms):
+                raise SceneParseError(
+                    f"OBJECT ID {obj_id} does not match expected "
+                    f"{len(geoms)} (sequential IDs required)"
+                )
+            type_line = (next_line() or "").split()
+            gtype, mesh_path = None, None
+            if type_line:
+                if type_line[0] == "sphere":
+                    gtype = T.SPHERE
+                elif type_line[0] == "cube":
+                    gtype = T.CUBE
+                elif type_line[0] == "mesh":
+                    gtype = T.MESH
+                    if len(type_line) < 2:
+                        raise SceneParseError("mesh object requires an OBJ path")
+                    mesh_path = type_line[1]
+            if gtype is None:
+                raise SceneParseError(f"unknown object type: {type_line}")
+            mat_line = (next_line() or "").split()
+            material_id = int(mat_line[1])
+            g = dict(
+                type=gtype, material_id=material_id,
+                translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0),
+                scale=(1.0, 1.0, 1.0),
+            )
+            while True:
+                t_line = next_line()
+                if t_line is None or not t_line.split():
+                    break
+                t = t_line.split()
+                if t[0] == "TRANS":
+                    g["translation"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif t[0] == "ROTAT":
+                    g["rotation"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif t[0] == "SCALE":
+                    g["scale"] = (float(t[1]), float(t[2]), float(t[3]))
+            if gtype == T.MESH:
+                p = mesh_path
+                if not os.path.isabs(p):
+                    p = os.path.join(base_dir, p)
+                tris = load_obj(p)
+                mesh_tris.append(tris)
+                mesh_geom_ids.append(
+                    np.full((tris.shape[0],), len(geoms), dtype=np.int32)
+                )
+            geoms.append(g)
+        elif toks[0] == "CAMERA":
+            cam = dict(
+                resolution=(800, 800), fovy=45.0, iterations=10, depth=8,
+                file="render", eye=(0.0, 0.0, 0.0), view=(0.0, 0.0, -1.0),
+                up=(0.0, 1.0, 0.0), aperture=0.0, focal=1.0,
+            )
+            for _ in range(5):  # RES FOVY ITERATIONS DEPTH FILE
+                t = (next_line() or "").split()
+                if not t:
+                    continue
+                if t[0] == "RES":
+                    cam["resolution"] = (int(t[1]), int(t[2]))
+                elif t[0] == "FOVY":
+                    cam["fovy"] = float(t[1])
+                elif t[0] == "ITERATIONS":
+                    cam["iterations"] = int(t[1])
+                elif t[0] == "DEPTH":
+                    cam["depth"] = int(t[1])
+                elif t[0] == "FILE":
+                    cam["file"] = t[1]
+            while True:
+                t_line = next_line()
+                if t_line is None or not t_line.split():
+                    break
+                t = t_line.split()
+                if t[0] == "EYE":
+                    cam["eye"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif t[0] == "VIEW":
+                    cam["view"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif t[0] == "UP":
+                    cam["up"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif t[0] == "APERTURE":
+                    cam["aperture"] = float(t[1])
+                elif t[0] == "FOCAL":
+                    cam["focal"] = float(t[1])
+            camera = cam
+
+    if camera is None:
+        raise SceneParseError("scene file has no CAMERA block")
+    if not materials:
+        raise SceneParseError("scene file has no materials")
+    if not geoms:
+        raise SceneParseError("scene file has no objects")
+    for g in geoms:
+        if not (0 <= g["material_id"] < len(materials)):
+            raise SceneParseError(
+                f"object references material {g['material_id']} "
+                f"but only {len(materials)} materials are defined"
+            )
+
+    f32 = np.float32
+    mats = T.Materials(
+        color=np.asarray([m["color"] for m in materials], dtype=f32),
+        spec_exponent=np.asarray([m["spec_exponent"] for m in materials], dtype=f32),
+        spec_color=np.asarray([m["spec_color"] for m in materials], dtype=f32),
+        has_reflective=np.asarray([m["has_reflective"] for m in materials], dtype=f32),
+        has_refractive=np.asarray([m["has_refractive"] for m in materials], dtype=f32),
+        ior=np.asarray([m["ior"] for m in materials], dtype=f32),
+        emittance=np.asarray([m["emittance"] for m in materials], dtype=f32),
+    )
+    gs = T.Geoms(
+        type=tuple(int(g["type"]) for g in geoms),  # static metadata
+        material_id=np.asarray([g["material_id"] for g in geoms], dtype=np.int32),
+        translation=np.asarray([g["translation"] for g in geoms], dtype=f32),
+        rotation=np.asarray([g["rotation"] for g in geoms], dtype=f32),
+        scale=np.asarray([g["scale"] for g in geoms], dtype=f32),
+    )
+    if mesh_tris:
+        mesh = T.TriMesh(
+            tri_verts=np.concatenate(mesh_tris, axis=0).astype(f32),
+            tri_geom=np.concatenate(mesh_geom_ids, axis=0),
+        )
+    else:
+        mesh = T.empty_mesh()
+
+    cam_t = T.Camera(
+        position=np.asarray(camera["eye"], dtype=f32),
+        view=np.asarray(camera["view"], dtype=f32),
+        up=np.asarray(camera["up"], dtype=f32),
+        fovy_deg=np.asarray(camera["fovy"], dtype=f32),
+        aperture=np.asarray(camera["aperture"], dtype=f32),
+        focal_dist=np.asarray(camera["focal"], dtype=f32),
+    )
+    return T.Scene(
+        materials=mats, geoms=gs, mesh=mesh, camera=cam_t,
+        resolution=tuple(camera["resolution"]),
+        trace_depth=int(camera["depth"]),
+        iterations=int(camera["iterations"]),
+        image_name=camera["file"],
+    )
+
+
+def derived_fov(scene: T.Scene):
+    """(fovx_deg, fovy_deg) with fovx derived from aspect, matching
+    src/scene.cpp:133-136."""
+    import math
+
+    fovy = float(scene.camera.fovy_deg)
+    yscaled = math.tan(fovy * (PI / 180.0))
+    xscaled = (yscaled * scene.width) / scene.height
+    fovx = math.atan(xscaled) * 180.0 / PI
+    return fovx, fovy
