@@ -1,0 +1,195 @@
+"""Headless CLI — the role of the reference's app driver (src/main.cpp).
+
+``python -m pathtrace_tpu.cli scene.txt`` mirrors
+``cis565_path_tracer scene.txt`` (src/main.cpp:21-47): parse the scene,
+run ITERATIONS progressive-refinement iterations, save
+``<FILE>.<start time>.<N>samp.png``.  On top of the reference:
+
+* flag overrides for every render setting (SURVEY.md §5 config plan);
+* per-chunk structured logging (iter, ms/iter, Mrays/s, per-bounce
+  live counts — the README.md:284-293 analysis as first-class output);
+* periodic preview PNG dump (the headless replacement for the GL
+  preview window, SURVEY.md §2 preview row);
+* checkpoint every K iterations + exact resume (counter-based RNG
+  makes the continued render bit-identical);
+* multi-device rendering via --shard over the local device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pathtrace_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    p.add_argument("scene", help="scene file (reference text format)")
+    p.add_argument("--spp", type=int, default=None,
+                   help="override ITERATIONS (samples per pixel)")
+    p.add_argument("--depth", type=int, default=None,
+                   help="override DEPTH (max bounces)")
+    p.add_argument("--res", type=int, nargs=2, default=None,
+                   metavar=("W", "H"), help="override RES")
+    p.add_argument("--out", default=None,
+                   help="output path (default: reference naming convention)")
+    p.add_argument("--hdr", action="store_true",
+                   help="also write a Radiance .hdr")
+    p.add_argument("--compaction", choices=["mask", "sort"], default="mask")
+    p.add_argument("--engine", choices=["pallas", "xla"], default="pallas",
+                   help="pallas = VMEM megakernel (fastest, primitives "
+                        "only); xla = jnp wavefront (meshes, NEE, diff)")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation / direct lighting "
+                        "(xla engine)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="iterations fused per device dispatch")
+    p.add_argument("--preview-every", type=int, default=0, metavar="K",
+                   help="dump a preview PNG every K iterations")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file for save/resume")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="K")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("--shard", action="store_true",
+                   help="shard samples across all local devices")
+    p.add_argument("--stats", action="store_true",
+                   help="emit per-chunk JSON stats lines")
+    p.add_argument("--seed", type=int, default=0,
+                   help="iteration-stream offset (0 matches the reference)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import pathtrace_tpu as pt
+    from pathtrace_tpu.io import image_io
+    from pathtrace_tpu.utils import checkpoint as ckpt
+
+    scene = pt.load_scene(args.scene)
+    if args.res:
+        scene = dataclasses.replace(scene, resolution=tuple(args.res))
+    if args.depth:
+        scene = dataclasses.replace(scene, trace_depth=args.depth)
+    n_iters = args.spp if args.spp is not None else scene.iterations
+    width, height = scene.resolution
+
+    print(
+        f"[pathtrace_tpu] {args.scene}: {width}x{height}, "
+        f"{n_iters} spp, depth {scene.trace_depth}, "
+        f"compaction={args.compaction}",
+        flush=True,
+    )
+
+    start_time = image_io.timestamp()
+    accum = np.zeros((scene.pixel_count, 3), np.float32)
+    done = 0
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        accum, done = ckpt.load(args.checkpoint, scene)
+        print(f"[pathtrace_tpu] resumed at iteration {done}", flush=True)
+
+    render_fn = None
+    if args.shard:
+        from pathtrace_tpu.parallel.shard import make_sharded_renderer
+
+        render_fn = make_sharded_renderer(scene, args.compaction)
+    elif (
+        args.engine == "pallas"
+        and not scene.mesh.count
+        and not args.nee
+        and args.compaction == "mask"
+    ):
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_batch_pallas,
+        )
+
+        render_fn = lambda it0, step: pathtrace_batch_pallas(
+            scene, it0, step
+        )
+
+    def save_final(accum, samples):
+        img = image_io.to_display(accum, width, height, samples)
+        out = args.out or image_io.render_filename(
+            scene.image_name, start_time, samples
+        )
+        image_io.save_png(out, img)
+        print(f"[pathtrace_tpu] saved {out}", flush=True)
+        if args.hdr:
+            hdr_out = os.path.splitext(out)[0] + ".hdr"
+            image_io.save_hdr(hdr_out, img)
+            print(f"[pathtrace_tpu] saved {hdr_out}", flush=True)
+        return out
+
+    rays_total = 0
+    t_start = time.time()
+    while done < n_iters:
+        step = min(args.chunk, n_iters - done)
+        t0 = time.time()
+        if render_fn is not None:
+            rad, counts = render_fn(args.seed + done + 1, step)
+        else:
+            rad, counts = pt.pathtrace_batch(
+                scene, args.seed + done + 1, step,
+                compaction=args.compaction, remat=False, nee=args.nee,
+            )
+        rad = np.asarray(rad)
+        counts = np.asarray(counts)
+        dt = time.time() - t0
+        accum += rad
+        done += step
+        segs = int(counts.sum())
+        rays_total += segs
+        if args.stats:
+            print(
+                json.dumps(
+                    dict(
+                        iter=done,
+                        ms_per_iter=round(dt / step * 1e3, 2),
+                        mrays_per_s=round(segs / dt / 1e6, 2),
+                        live_per_bounce=counts.reshape(
+                            -1, counts.shape[-1]
+                        ).mean(axis=0).astype(int).tolist(),
+                    )
+                ),
+                flush=True,
+            )
+        else:
+            print(
+                f"[pathtrace_tpu] iter {done}/{n_iters} "
+                f"({dt / step * 1e3:.1f} ms/iter, "
+                f"{segs / dt / 1e6:.1f} Mrays/s)",
+                flush=True,
+            )
+        if args.preview_every and done % args.preview_every < step:
+            img = image_io.to_display(accum, width, height, done)
+            image_io.save_png(f"/tmp/{scene.image_name}.preview.png", img)
+        if (
+            args.checkpoint
+            and args.checkpoint_every
+            and done % args.checkpoint_every < step
+        ):
+            ckpt.save(args.checkpoint, accum, done, scene)
+
+    wall = time.time() - t_start
+    print(
+        f"[pathtrace_tpu] {done} iterations in {wall:.1f}s "
+        f"({rays_total / max(wall, 1e-9) / 1e6:.1f} Mrays/s avg)",
+        flush=True,
+    )
+    if args.checkpoint:
+        ckpt.save(args.checkpoint, accum, done, scene)
+    save_final(accum, done)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

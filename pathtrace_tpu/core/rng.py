@@ -83,3 +83,5 @@ class Draw:
     SPEC_U1 = 4       # imperfect-specular u1
     SPEC_U2 = 5       # imperfect-specular u2
     RR = 6            # russian roulette (optional)
+    # NEE (direct lighting): light k uses draws NEE_BASE+3k .. +3k+2
+    NEE_BASE = 16     # +0: face/strata select, +1: u, +2: v

@@ -119,12 +119,18 @@ class Camera:
     focal_dist: Any  # ()  focal-plane distance for DoF
 
 
-@_pytree(meta=("resolution", "trace_depth", "iterations", "image_name"))
+@_pytree(
+    meta=("resolution", "trace_depth", "iterations", "image_name",
+          "light_indices")
+)
 class Scene:
     """Full scene: parameter pytree + static render settings.
 
     Static fields come from the CAMERA block (RES / ITERATIONS / DEPTH /
     FILE, src/scene.cpp:103-114) and fix array shapes / loop bounds.
+    ``light_indices`` (geoms whose material is emissive, README.md:219)
+    is static structure: the NEE mode loops over it at trace time, and
+    it stays fixed while differentiating emittance values.
     """
 
     materials: Materials
@@ -135,6 +141,7 @@ class Scene:
     trace_depth: int
     iterations: int
     image_name: str
+    light_indices: tuple = ()
 
     @property
     def width(self):

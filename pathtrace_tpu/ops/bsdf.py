@@ -97,7 +97,9 @@ def sample_bsdf(wi, normal, outside, mat, u, xp=jnp):
       u: dict of U[0,1) draws: lobe, diff_u1, diff_u2, fresnel, spec_u1,
         spec_u2 — fixed slots of the (iter,pixel,depth) stream.
 
-    Returns (new_dir (N,3), throughput_multiplier (N,3)).
+    Returns (new_dir (N,3), throughput_multiplier (N,3),
+    took_diffuse (N,) bool — True where the diffuse lobe was sampled;
+    NEE uses it to cancel double-counted BSDF-sampled emission).
     """
     color = mat["color"]
     spec_color = mat["spec_color"]
@@ -135,4 +137,5 @@ def sample_bsdf(wi, normal, outside, mat, u, xp=jnp):
     is_glass = (mat["has_refractive"] > 0.0)[..., None]
     new_dir = xp.where(is_glass, d_fresnel, d_sd)
     thr = xp.where(is_glass, t_fresnel, t_sd)
-    return new_dir, thr
+    took_diffuse = ~take_spec & ~is_glass[..., 0]
+    return new_dir, thr, took_diffuse

@@ -1,0 +1,639 @@
+"""Pallas TPU megakernel: the whole path trace in VMEM.
+
+The reference's per-iteration pipeline is a chain of global-memory
+kernels — raygen, per-depth intersect + shade, compaction
+(src/pathtrace.cu:135-158) — each streaming every ray through HBM.
+The TPU-native speed-of-light design inverts that: one kernel, grid
+over ray tiles, with the *entire* bounce loop running on a tile of
+rays resident in VMEM.  HBM traffic per ray is then just the final
+radiance write (plus tiny replicated scene tables), instead of
+~2 × state × depth.
+
+Layout: rays are laid out as (SUBLANES, 128) f32 planes per component
+(ox, oy, oz, dx, ...) — every op is an aligned VPU op.  The scene
+(geom transforms + per-geom material table) is a few hundred scalars,
+replicated into VMEM for every tile; the geom loop is unrolled with
+static primitive types, exactly like ops/intersect.intersect_scene.
+
+Compaction, TPU-style: lanes are predicated (no SIMT divergence cost,
+and — unlike the CUDA design — no HBM traffic for dead lanes to
+eliminate, since the whole loop lives in VMEM).  An optional per-tile
+early exit (`early_exit=True`: lax.cond skips remaining bounces once a
+tile is all-dead) is available but off by default — Mosaic compiles the
+duplicated branch body very slowly, and the predicated-lane cost it
+saves is small.  Per-bounce live counts are still emitted per tile for
+the reference's mandated analysis (README.md:284-293).
+
+Semantics are identical to the jnp integrator (same RNG streams, same
+intersection/BSDF math — see ops/intersect.py, ops/bsdf.py for the
+reference-contract citations); tests compare the two paths directly.
+Differentiation goes through the jnp path; this kernel is the
+inference/throughput path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import types as T
+from ...core.constants import NO_HIT, RAY_OFFSET, TWO_PI, SQRT_OF_ONE_THIRD, PI
+from ...core.rng import Draw
+from ...render.integrator import camera_basis, geom_transforms
+
+SUB = 32          # sublane rows per tile
+LANES = 128
+TILE = SUB * LANES  # rays per tile (4096)
+
+
+# ----------------------------------------------------------------------------
+# in-kernel counter RNG (same stream as core/rng.py, on (SUB,128) planes)
+# ----------------------------------------------------------------------------
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _mix4(a, b, c, d):
+    k1 = jnp.uint32(1664525)
+    k2 = jnp.uint32(1013904223)
+    a = _u32(a * k1 + k2)
+    b = _u32(b * k1 + k2)
+    c = _u32(c * k1 + k2)
+    d = _u32(d * k1 + k2)
+    a = _u32(a + b * d)
+    b = _u32(b + c * a)
+    c = _u32(c + a * b)
+    d = _u32(d + b * c)
+    a = a ^ (a >> jnp.uint32(16))
+    b = b ^ (b >> jnp.uint32(16))
+    c = c ^ (c >> jnp.uint32(16))
+    d = d ^ (d >> jnp.uint32(16))
+    a = _u32(a + b * d)
+    b = _u32(b + c * a)
+    c = _u32(c + a * b)
+    d = _u32(d + b * c)
+    return a, d
+
+
+def _uniform(it_u32, pix_u32, depth: int, draw: int):
+    a, d = _mix4(
+        it_u32,
+        pix_u32,
+        jnp.full_like(pix_u32, jnp.uint32(depth)),
+        jnp.full_like(pix_u32, jnp.uint32(draw)),
+    )
+    bits = a ^ d
+    # Mosaic lacks uint32->f32; the top-24-bit value fits int32 exactly,
+    # so route through int32 (bit-identical to core/rng.uniform).
+    top24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+# ----------------------------------------------------------------------------
+# kernel body helpers (all on (SUB,128) planes)
+# ----------------------------------------------------------------------------
+
+def _normalize3(x, y, z):
+    # 1/sqrt (not rsqrt) for bit-parity with the jnp integrator path
+    inv = 1.0 / jnp.sqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, rad_r_ref, rad_g_ref,
+            rad_b_ref, counts_ref, *, geom_types, width, height, depth,
+            n_pixels, early_exit=False):
+    """One ray tile, full trace.
+
+    it_ref: (1,1) SMEM int32 — iteration number.
+    cam_ref: (1,16) VMEM f32 — pos(3) view(3) right(3) up(3) tanx tany
+      aperture focal.
+    mats_ref: (G,16) VMEM f32 per-geom *gathered* material rows:
+      color(3) spec_color(3) spec_ex refl refr ior emit pad...
+    gmat_ref: (G,32) VMEM f32 per-geom transforms: fwd 3x4 (12),
+      inv 3x4 (12), invT 3x3 row-major (9) -> padded to 32.
+    rad_*_ref: (SUB,128) VMEM f32 outputs (radiance planes).
+    counts_ref: (8, 128) VMEM i32 output; row 0, col d = live lanes
+      entering bounce d (padded block to satisfy TPU tiling).
+    """
+    tile = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    pixel = (tile * SUB + row) * LANES + lane          # global flat id
+    valid = pixel < n_pixels
+    pix_u = _u32(pixel)
+    it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
+
+    c = lambda k: cam_ref[0, k]
+    pos_x, pos_y, pos_z = c(0), c(1), c(2)
+    v_x, v_y, v_z = c(3), c(4), c(5)
+    r_x, r_y, r_z = c(6), c(7), c(8)
+    u_x, u_y, u_z = c(9), c(10), c(11)
+    tan_x, tan_y = c(12), c(13)
+    aperture, focal = c(14), c(15)
+
+    # ---- raygen (AA jitter + thin-lens DoF), matching integrator.raygen
+    fx = (pixel % width).astype(jnp.float32)
+    fy = (pixel // width).astype(jnp.float32)
+    ujx = _uniform(it_u, pix_u, 0, Draw.AA_X)
+    ujy = _uniform(it_u, pix_u, 0, Draw.AA_Y)
+    sx = (fx + ujx) * jnp.float32(2.0 / width) - 1.0
+    sy = (fy + ujy) * jnp.float32(2.0 / height) - 1.0
+    dx = v_x - r_x * (tan_x * sx) - u_x * (tan_y * sy)
+    dy = v_y - r_y * (tan_x * sx) - u_y * (tan_y * sy)
+    dz = v_z - r_z * (tan_x * sx) - u_z * (tan_y * sy)
+    dx, dy, dz = _normalize3(dx, dy, dz)
+    ox = jnp.full((SUB, LANES), pos_x, jnp.float32)
+    oy = jnp.full((SUB, LANES), pos_y, jnp.float32)
+    oz = jnp.full((SUB, LANES), pos_z, jnp.float32)
+
+    u1 = _uniform(it_u, pix_u, 0, Draw.DOF_U)
+    u2 = _uniform(it_u, pix_u, 0, Draw.DOF_V)
+    r_lens = aperture * jnp.sqrt(u1)
+    theta = u2 * jnp.float32(TWO_PI)
+    off_x = r_x * (r_lens * jnp.cos(theta)) + u_x * (r_lens * jnp.sin(theta))
+    off_y = r_y * (r_lens * jnp.cos(theta)) + u_y * (r_lens * jnp.sin(theta))
+    off_z = r_z * (r_lens * jnp.cos(theta)) + u_z * (r_lens * jnp.sin(theta))
+    cos_v = dx * v_x + dy * v_y + dz * v_z
+    ft = focal / jnp.maximum(cos_v, 1e-6)
+    pfx, pfy, pfz = ox + dx * ft, oy + dy * ft, oz + dz * ft
+    ndx, ndy, ndz = _normalize3(pfx - (ox + off_x), pfy - (oy + off_y),
+                                pfz - (oz + off_z))
+    use_dof = aperture > 0.0
+    ox = jnp.where(use_dof, ox + off_x, ox)
+    oy = jnp.where(use_dof, oy + off_y, oy)
+    oz = jnp.where(use_dof, oz + off_z, oz)
+    dx = jnp.where(use_dof, ndx, dx)
+    dy = jnp.where(use_dof, ndy, dy)
+    dz = jnp.where(use_dof, ndz, dz)
+
+    state = dict(
+        ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+        tr=jnp.ones((SUB, LANES), jnp.float32),
+        tg=jnp.ones((SUB, LANES), jnp.float32),
+        tb=jnp.ones((SUB, LANES), jnp.float32),
+        rr=jnp.zeros((SUB, LANES), jnp.float32),
+        rg=jnp.zeros((SUB, LANES), jnp.float32),
+        rb=jnp.zeros((SUB, LANES), jnp.float32),
+        # f32 mask, not bool: Mosaic can't round-trip i1 vectors
+        # through lax.cond-carried state
+        live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
+    )
+
+    def intersect(st):
+        """Nearest hit over unrolled geoms. Returns plane dict."""
+        ox, oy, oz = st["ox"], st["oy"], st["oz"]
+        dx, dy, dz = st["dx"], st["dy"], st["dz"]
+        big = jnp.float32(NO_HIT)
+        best = dict(
+            dist=jnp.full((SUB, LANES), big, jnp.float32),
+            px=ox, py=oy, pz=oz,
+            nx=jnp.zeros((SUB, LANES), jnp.float32),
+            ny=jnp.zeros((SUB, LANES), jnp.float32),
+            nz=jnp.zeros((SUB, LANES), jnp.float32),
+            outside=jnp.zeros((SUB, LANES), jnp.float32),  # f32 mask
+            # material planes selected during the fold
+            mc_r=jnp.zeros((SUB, LANES), jnp.float32),
+            mc_g=jnp.zeros((SUB, LANES), jnp.float32),
+            mc_b=jnp.zeros((SUB, LANES), jnp.float32),
+            ms_r=jnp.zeros((SUB, LANES), jnp.float32),
+            ms_g=jnp.zeros((SUB, LANES), jnp.float32),
+            ms_b=jnp.zeros((SUB, LANES), jnp.float32),
+            m_ex=jnp.zeros((SUB, LANES), jnp.float32),
+            m_refl=jnp.zeros((SUB, LANES), jnp.float32),
+            m_refr=jnp.zeros((SUB, LANES), jnp.float32),
+            m_ior=jnp.zeros((SUB, LANES), jnp.float32),
+            m_emit=jnp.zeros((SUB, LANES), jnp.float32),
+        )
+
+        for g, gtype in enumerate(geom_types):
+            if gtype == T.MESH:
+                continue
+            m = lambda k: gmat_ref[g, k]
+            # object-space ray (explicit mul-adds; see ops/intersect.py
+            # on why never a matmul)
+            i00, i01, i02, i03 = m(12), m(13), m(14), m(15)
+            i10, i11, i12, i13 = m(16), m(17), m(18), m(19)
+            i20, i21, i22, i23 = m(20), m(21), m(22), m(23)
+            rox = i00 * ox + i01 * oy + i02 * oz + i03
+            roy = i10 * ox + i11 * oy + i12 * oz + i13
+            roz = i20 * ox + i21 * oy + i22 * oz + i23
+            rdx = i00 * dx + i01 * dy + i02 * dz
+            rdy = i10 * dx + i11 * dy + i12 * dz
+            rdz = i20 * dx + i21 * dy + i22 * dz
+            rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
+
+            if gtype == T.SPHERE:
+                vdd = rox * rdx + roy * rdy + roz * rdz
+                rad2 = vdd * vdd - (
+                    rox * rox + roy * roy + roz * roz - 0.25
+                )
+                has_root = rad2 >= 0
+                sq = jnp.sqrt(jnp.where(has_root, rad2, 1.0))
+                t1 = -vdd + sq
+                t2 = -vdd - sq
+                both_neg = (t1 < 0) & (t2 < 0)
+                both_pos = (t1 > 0) & (t2 > 0)
+                t_use = jnp.where(
+                    both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+                )
+                hit = has_root & ~both_neg
+                out_raw = both_pos
+                tofs = t_use - jnp.float32(RAY_OFFSET)
+                qx, qy, qz = rox + tofs * rdx, roy + tofs * rdy, roz + tofs * rdz
+                # normal via invT (rows 24..32), flipped inside
+                nx0 = m(24) * qx + m(25) * qy + m(26) * qz
+                ny0 = m(27) * qx + m(28) * qy + m(29) * qz
+                nz0 = m(30) * qx + m(31) * qy + m(32) * qz
+                nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                flip = jnp.where(out_raw, 1.0, -1.0)
+                nx0, ny0, nz0 = nx0 * flip, ny0 * flip, nz0 * flip
+                outside = hit & out_raw
+            else:  # CUBE: slab test, sequential-axis semantics
+                tmin = jnp.full((SUB, LANES), -1e38, jnp.float32)
+                tmax = jnp.full((SUB, LANES), 1e38, jnp.float32)
+                nmin = [jnp.zeros((SUB, LANES), jnp.float32)] * 3
+                nmax = [jnp.zeros((SUB, LANES), jnp.float32)] * 3
+                for ax, (qo, qd) in enumerate(
+                    [(rox, rdx), (roy, rdy), (roz, rdz)]
+                ):
+                    t1 = (-0.5 - qo) / qd
+                    t2 = (0.5 - qo) / qd
+                    ta = jnp.minimum(t1, t2)
+                    tb = jnp.maximum(t1, t2)
+                    sign = jnp.where(t2 < t1, 1.0, -1.0)
+                    upd_min = (ta > 0) & (ta > tmin)
+                    tmin = jnp.where(upd_min, ta, tmin)
+                    nmin = [
+                        jnp.where(upd_min, sign if k == ax else 0.0, nmin[k])
+                        for k in range(3)
+                    ]
+                    upd_max = tb < tmax
+                    tmax = jnp.where(upd_max, tb, tmax)
+                    nmax = [
+                        jnp.where(upd_max, sign if k == ax else 0.0, nmax[k])
+                        for k in range(3)
+                    ]
+                hit = (tmax >= tmin) & (tmax > 0)
+                inside = tmin <= 0
+                t_use = jnp.where(inside, tmax, tmin)
+                nox = jnp.where(inside, nmax[0], nmin[0])
+                noy = jnp.where(inside, nmax[1], nmin[1])
+                noz = jnp.where(inside, nmax[2], nmin[2])
+                outside = hit & ~inside
+                tofs = t_use - jnp.float32(RAY_OFFSET)
+                qx, qy, qz = rox + tofs * rdx, roy + tofs * rdy, roz + tofs * rdz
+                # quirk: box normal via the FORWARD transform
+                # (src/intersections.h:85); fwd rows are 0..12
+                nx0 = m(0) * nox + m(1) * noy + m(2) * noz
+                ny0 = m(4) * nox + m(5) * noy + m(6) * noz
+                nz0 = m(8) * nox + m(9) * noy + m(10) * noz
+                nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+
+            # world point + world distance (fwd rows 0..12)
+            pxw = m(0) * qx + m(1) * qy + m(2) * qz + m(3)
+            pyw = m(4) * qx + m(5) * qy + m(6) * qz + m(7)
+            pzw = m(8) * qx + m(9) * qy + m(10) * qz + m(11)
+            ddx, ddy, ddz = ox - pxw, oy - pyw, oz - pzw
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
+
+            better = dist < best["dist"]
+            mt = lambda k: mats_ref[g, k]
+            sel = lambda a, b: jnp.where(better, a, b)
+            best = dict(
+                dist=sel(dist, best["dist"]),
+                px=sel(pxw, best["px"]), py=sel(pyw, best["py"]),
+                pz=sel(pzw, best["pz"]),
+                nx=sel(nx0, best["nx"]), ny=sel(ny0, best["ny"]),
+                nz=sel(nz0, best["nz"]),
+                outside=sel(jnp.where(outside, 1.0, 0.0).astype(jnp.float32),
+                            best["outside"]),
+                mc_r=sel(mt(0), best["mc_r"]), mc_g=sel(mt(1), best["mc_g"]),
+                mc_b=sel(mt(2), best["mc_b"]),
+                ms_r=sel(mt(3), best["ms_r"]), ms_g=sel(mt(4), best["ms_g"]),
+                ms_b=sel(mt(5), best["ms_b"]),
+                m_ex=sel(mt(6), best["m_ex"]),
+                m_refl=sel(mt(7), best["m_refl"]),
+                m_refr=sel(mt(8), best["m_refr"]),
+                m_ior=sel(mt(9), best["m_ior"]),
+                m_emit=sel(mt(10), best["m_emit"]),
+            )
+        best["hit"] = best["dist"] < jnp.float32(NO_HIT)
+        return best
+
+    def shade(st, isect, d):
+        """Terminate-or-scatter, matching ops/bsdf.sample_bsdf."""
+        live = st["live"] > 0.0
+        hit = isect["hit"]
+        emissive = isect["m_emit"] > 0.0
+
+        lit = live & hit & emissive
+        rr = st["rr"] + jnp.where(
+            lit, st["tr"] * isect["mc_r"] * isect["m_emit"], 0.0
+        )
+        rg = st["rg"] + jnp.where(
+            lit, st["tg"] * isect["mc_g"] * isect["m_emit"], 0.0
+        )
+        rb = st["rb"] + jnp.where(
+            lit, st["tb"] * isect["mc_b"] * isect["m_emit"], 0.0
+        )
+
+        dep = d + 1
+        u_lobe = _uniform(it_u, pix_u, dep, Draw.LOBE)
+        u_d1 = _uniform(it_u, pix_u, dep, Draw.DIFF_U1)
+        u_d2 = _uniform(it_u, pix_u, dep, Draw.DIFF_U2)
+        u_fr = _uniform(it_u, pix_u, dep, Draw.FRESNEL)
+        u_s1 = _uniform(it_u, pix_u, dep, Draw.SPEC_U1)
+        u_s2 = _uniform(it_u, pix_u, dep, Draw.SPEC_U2)
+
+        nx, ny, nz = isect["nx"], isect["ny"], isect["nz"]
+        dx, dy, dz = st["dx"], st["dy"], st["dz"]
+
+        # --- diffuse: cosine hemisphere w/ Peter-Kutz frame
+        up = jnp.sqrt(u_d1)
+        over = jnp.sqrt(jnp.maximum(1.0 - up * up, 0.0))
+        around = u_d2 * jnp.float32(TWO_PI)
+        s3 = jnp.float32(SQRT_OF_ONE_THIRD)
+        use_x = jnp.abs(nx) < s3
+        use_y = (~use_x) & (jnp.abs(ny) < s3)
+        nn_x = jnp.where(use_x, 1.0, 0.0)
+        nn_y = jnp.where(use_y, 1.0, 0.0)
+        nn_z = jnp.where(use_x | use_y, 0.0, 1.0)
+        p1x = ny * nn_z - nz * nn_y
+        p1y = nz * nn_x - nx * nn_z
+        p1z = nx * nn_y - ny * nn_x
+        p1x, p1y, p1z = _normalize3(p1x, p1y, p1z)
+        p2x = ny * p1z - nz * p1y
+        p2y = nz * p1x - nx * p1z
+        p2z = nx * p1y - ny * p1x
+        p2x, p2y, p2z = _normalize3(p2x, p2y, p2z)
+        ca, sa = jnp.cos(around), jnp.sin(around)
+        ddfx = up * nx + ca * over * p1x + sa * over * p2x
+        ddfy = up * ny + ca * over * p1y + sa * over * p2y
+        ddfz = up * nz + ca * over * p1z + sa * over * p2z
+
+        # --- mirror + imperfect specular
+        ndoti = nx * dx + ny * dy + nz * dz
+        mrx = dx - 2.0 * ndoti * nx
+        mry = dy - 2.0 * ndoti * ny
+        mrz = dz - 2.0 * ndoti * nz
+        n1 = 1.0 / (isect["m_ex"] + 1.0)
+        cos_t = jnp.power(jnp.maximum(u_s1, 1e-12), n1)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = u_s2 * jnp.float32(TWO_PI)
+        # frame about the mirror direction
+        use_xm = jnp.abs(mrx) < s3
+        use_ym = (~use_xm) & (jnp.abs(mry) < s3)
+        nmx = jnp.where(use_xm, 1.0, 0.0)
+        nmy = jnp.where(use_ym, 1.0, 0.0)
+        nmz = jnp.where(use_xm | use_ym, 0.0, 1.0)
+        q1x = mry * nmz - mrz * nmy
+        q1y = mrz * nmx - mrx * nmz
+        q1z = mrx * nmy - mry * nmx
+        q1x, q1y, q1z = _normalize3(q1x, q1y, q1z)
+        q2x = mry * q1z - mrz * q1y
+        q2y = mrz * q1x - mrx * q1z
+        q2z = mrx * q1y - mry * q1x
+        q2x, q2y, q2z = _normalize3(q2x, q2y, q2z)
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+        imx = cos_t * mrx + cp * sin_t * q1x + sp * sin_t * q2x
+        imy = cos_t * mry + cp * sin_t * q1y + sp * sin_t * q2y
+        imz = cos_t * mrz + cp * sin_t * q1z + sp * sin_t * q2z
+        use_imp = isect["m_ex"] > 0.0
+        spx = jnp.where(use_imp, imx, mrx)
+        spy = jnp.where(use_imp, imy, mry)
+        spz = jnp.where(use_imp, imz, mrz)
+
+        # --- Fresnel glass (Schlick choice + Snell refraction)
+        cos_i = jnp.clip(-ndoti, 0.0, 1.0)
+        ior = isect["m_ior"]
+        r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+        mm = jnp.maximum(1.0 - cos_i, 0.0)
+        refl_p = r0 + (1.0 - r0) * mm * mm * mm * mm * mm
+        eta = jnp.where(
+            isect["outside"] > 0.0, 1.0 / jnp.maximum(ior, 1e-6), ior
+        )
+        cosi2 = nx * dx + ny * dy + nz * dz  # = -cos_i (pre-clip)
+        kk = 1.0 - eta * eta * (1.0 - cosi2 * cosi2)
+        k_ok = kk >= 0.0
+        sqk = jnp.sqrt(jnp.where(k_ok, kk, 1.0))
+        rfx = eta * dx - (eta * cosi2 + sqk) * nx
+        rfy = eta * dy - (eta * cosi2 + sqk) * ny
+        rfz = eta * dz - (eta * cosi2 + sqk) * nz
+        tir = ~k_ok
+        choose_refl = (u_fr < refl_p) | tir
+        fx = jnp.where(choose_refl, mrx, rfx)
+        fy = jnp.where(choose_refl, mry, rfy)
+        fz = jnp.where(choose_refl, mrz, rfz)
+        ftr = jnp.where(choose_refl, isect["ms_r"], isect["mc_r"])
+        ftg = jnp.where(choose_refl, isect["ms_g"], isect["mc_g"])
+        ftb = jnp.where(choose_refl, isect["ms_b"], isect["mc_b"])
+
+        # --- spec/diffuse probability split
+        p_spec = jnp.clip(isect["m_refl"], 0.0, 1.0)
+        take_spec = u_lobe < p_spec
+        p_safe = jnp.maximum(
+            jnp.where(take_spec, p_spec, 1.0 - p_spec), 1e-8
+        )
+        sdx = jnp.where(take_spec, spx, ddfx)
+        sdy = jnp.where(take_spec, spy, ddfy)
+        sdz = jnp.where(take_spec, spz, ddfz)
+        sdr = jnp.where(take_spec, isect["ms_r"], isect["mc_r"]) / p_safe
+        sdg = jnp.where(take_spec, isect["ms_g"], isect["mc_g"]) / p_safe
+        sdb = jnp.where(take_spec, isect["ms_b"], isect["mc_b"]) / p_safe
+
+        is_glass = isect["m_refr"] > 0.0
+        ndirx = jnp.where(is_glass, fx, sdx)
+        ndiry = jnp.where(is_glass, fy, sdy)
+        ndirz = jnp.where(is_glass, fz, sdz)
+        thr_r = jnp.where(is_glass, ftr, sdr)
+        thr_g = jnp.where(is_glass, ftg, sdg)
+        thr_b = jnp.where(is_glass, ftb, sdb)
+
+        cont = live & hit & ~emissive
+        return dict(
+            ox=jnp.where(cont, isect["px"], st["ox"]),
+            oy=jnp.where(cont, isect["py"], st["oy"]),
+            oz=jnp.where(cont, isect["pz"], st["oz"]),
+            dx=jnp.where(cont, ndirx, st["dx"]),
+            dy=jnp.where(cont, ndiry, st["dy"]),
+            dz=jnp.where(cont, ndirz, st["dz"]),
+            tr=jnp.where(cont, st["tr"] * thr_r, st["tr"]),
+            tg=jnp.where(cont, st["tg"] * thr_g, st["tg"]),
+            tb=jnp.where(cont, st["tb"] * thr_b, st["tb"]),
+            rr=rr, rg=rg, rb=rb,
+            live=jnp.where(cont, 1.0, 0.0).astype(jnp.float32),
+        )
+
+    # ---- the bounce loop, with per-tile early exit (TPU compaction)
+    # counts are accumulated as a one-hot plane (scalar VMEM stores are
+    # not supported by Mosaic): row 0, col d holds bounce d's live count
+    counts_acc = jnp.zeros((8, LANES), jnp.int32)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    for d in range(depth):
+        n_live = jnp.sum(state["live"]).astype(jnp.int32)
+        counts_acc = counts_acc + jnp.where(
+            (crow == 0) & (ccol == d), n_live, 0
+        )
+
+        def do_bounce(st):
+            isect = intersect(st)
+            return shade(st, isect, d)
+
+        if early_exit:
+            state = jax.lax.cond(n_live > 0, do_bounce, lambda st: st, state)
+        else:
+            state = do_bounce(state)
+
+    counts_ref[:, :] = counts_acc
+    rad_r_ref[:, :] = state["rr"]
+    rad_g_ref[:, :] = state["rg"]
+    rad_b_ref[:, :] = state["rb"]
+
+
+# ----------------------------------------------------------------------------
+# host wrapper
+# ----------------------------------------------------------------------------
+
+def _pack_scene(scene):
+    """Scene pytree -> (cam (1,16), mats (G,16), gmat (G,36)) f32."""
+    width, height = scene.resolution
+    view, right, up, tan_x, tan_y = camera_basis(
+        scene.camera, width, height
+    )
+    cam = jnp.concatenate([
+        scene.camera.position.reshape(-1), view.reshape(-1),
+        right.reshape(-1), up.reshape(-1),
+        jnp.stack([
+            jnp.asarray(tan_x, jnp.float32),
+            jnp.asarray(tan_y, jnp.float32),
+            scene.camera.aperture.astype(jnp.float32),
+            scene.camera.focal_dist.astype(jnp.float32),
+        ]),
+    ]).reshape(1, 16)
+
+    m = scene.materials
+    mid = scene.geoms.material_id
+    mats = jnp.concatenate([
+        m.color[mid], m.spec_color[mid],
+        m.spec_exponent[mid][:, None], m.has_reflective[mid][:, None],
+        m.has_refractive[mid][:, None], m.ior[mid][:, None],
+        m.emittance[mid][:, None],
+        jnp.zeros((mid.shape[0], 5), jnp.float32),
+    ], axis=1)  # (G,16)
+
+    fwd, inv, inv_t = geom_transforms(scene.geoms)
+    gmat = jnp.concatenate([
+        fwd[:, :3, :].reshape(-1, 12),
+        inv[:, :3, :].reshape(-1, 12),
+        inv_t[:, :3, :3].reshape(-1, 9),
+        jnp.zeros((fwd.shape[0], 3), jnp.float32),
+    ], axis=1)  # (G,36)
+    return cam, mats, gmat
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "trace_depth",
+                                             "geom_types", "interpret",
+                                             "early_exit"))
+def _run(cam, mats, gmat, it, resolution, trace_depth, geom_types,
+         interpret=False, early_exit=False):
+    width, height = resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    pad_rows = n_tiles * SUB
+
+    kernel = functools.partial(
+        _kernel, geom_types=geom_types, width=width, height=height,
+        depth=trace_depth, n_pixels=n_pixels, early_exit=early_exit,
+    )
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    rad_r, rad_g, rad_b, counts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat)
+
+    rad = jnp.stack(
+        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
+    )[:n_pixels]
+    counts = counts.reshape(n_tiles, 8, 128)[:, 0, :trace_depth]
+    return rad, jnp.sum(counts, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
+def _iteration_jit(scene, it, interpret, early_exit):
+    cam, mats, gmat = _pack_scene(scene)
+    return _run(
+        cam, mats, gmat, jnp.asarray(it, jnp.int32),
+        tuple(scene.resolution), int(scene.trace_depth),
+        tuple(scene.geoms.type), interpret, early_exit,
+    )
+
+
+def pathtrace_iteration_pallas(scene, it, interpret=False, early_exit=False):
+    """Drop-in Pallas replacement for render.integrator.pathtrace_iteration
+    (mask-mode semantics, primitives only — scenes with triangle meshes
+    fall back to the jnp path).  Fully jitted, including scene packing —
+    eager packing ops cost a host round-trip each on the TPU tunnel.
+    """
+    if scene.mesh.count:
+        from ...render.integrator import pathtrace_iteration
+
+        return pathtrace_iteration(scene, it)
+    return _iteration_jit(scene, it, interpret, early_exit)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
+                                             "early_exit"))
+def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
+                           early_exit=False):
+    """``n_iters`` megakernel iterations fused into one dispatch
+    (lax.scan over the iteration index, accumulating on-device).
+    Returns (accumulated radiance (P,3), counts (n_iters, depth))."""
+    cam, mats, gmat = _pack_scene(scene)
+    res = tuple(scene.resolution)
+    depth = int(scene.trace_depth)
+    gtypes = tuple(scene.geoms.type)
+
+    def body(accum, it):
+        rad, counts = _run(cam, mats, gmat, it, res, depth, gtypes,
+                           interpret, early_exit)
+        return accum + rad, counts
+
+    its = jnp.asarray(it0, jnp.int32) + jnp.arange(n_iters, dtype=jnp.int32)
+    n = res[0] * res[1]
+    accum, counts = jax.lax.scan(
+        body, jnp.zeros((n, 3), jnp.float32), its
+    )
+    return accum, counts

@@ -1,0 +1,193 @@
+"""Multi-device / multi-host rendering and differentiation.
+
+The reference is hard-wired to one GPU (``cudaGLSetGLDevice(0)``,
+src/preview.cpp:107).  Here scaling is a first-class axis (SURVEY.md
+§2.3): a 1-D ``jax.sharding.Mesh`` over all devices, with two sharding
+strategies —
+
+* **sample-parallel** (default): the spp batch is sharded; every device
+  renders the full image at different iteration indices and the
+  accumulation buffer is ``psum``-reduced over ICI.  Scene/material
+  parameters are replicated; scaling is embarrassingly parallel except
+  for one (P,3) all-reduce per chunk.
+* **pixel-parallel**: the pixel axis is sharded; each device owns a
+  contiguous slab of rows and no collective is needed until gather.
+
+Counter-based RNG keyed on (iter, *global* pixel id, depth) makes both
+decompositions produce bit-identical images to the single-device render
+— resharding never changes the picture (SURVEY.md §7.4 multi-host
+determinism).
+
+The gradient step all-reduces parameter grads with an explicit ``psum``
+inside ``shard_map``; XLA's latency-hiding scheduler overlaps it with
+the remaining backward-bounce computation (the BASELINE.json "grad
+all-reduce overlapped with backward sweep" requirement).
+
+Multi-host: call :func:`initialize_distributed` first; the same mesh
+code then spans hosts (jax.distributed + ICI/DCN collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..core.types import Scene
+from ..render.integrator import trace_pixels
+
+try:  # jax>=0.4.35
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except (ImportError, AttributeError):  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_rep,
+        )
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` passthrough."""
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dev") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# forward rendering
+# ---------------------------------------------------------------------------
+
+def render_sample_sharded(scene: Scene, it0: int, n_iters: int,
+                          mesh: Mesh, compaction: str = "mask"):
+    """spp sharded over the mesh; returns (accum (P,3), counts (n,depth)).
+
+    ``n_iters`` must be a multiple of the mesh size.
+    """
+    ndev = mesh.devices.size
+    if n_iters % ndev:
+        raise ValueError(f"n_iters={n_iters} not divisible by {ndev} devices")
+    its = it0 + jnp.arange(n_iters, dtype=jnp.int32)
+
+    def body(scene, its_local):
+        pix = jnp.arange(scene.pixel_count, dtype=jnp.int32)
+        rad, counts = jax.vmap(
+            lambda i: trace_pixels(scene, i, pix, compaction, False)
+        )(its_local)
+        return jax.lax.psum(rad.sum(0), "dev"), counts
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P(), P("dev")),
+    )
+    return jax.jit(f)(scene, its)
+
+
+def render_pixel_sharded(scene: Scene, it0: int, n_iters: int,
+                         mesh: Mesh, compaction: str = "mask"):
+    """Pixel rows sharded over the mesh; no collectives in the loop."""
+    ndev = mesh.devices.size
+    if scene.pixel_count % ndev:
+        raise ValueError(
+            f"pixel count {scene.pixel_count} not divisible by {ndev}"
+        )
+    its = it0 + jnp.arange(n_iters, dtype=jnp.int32)
+    pix = jnp.arange(scene.pixel_count, dtype=jnp.int32)
+
+    def body(scene, its, pix_local):
+        rad, counts = jax.vmap(
+            lambda i: trace_pixels(scene, i, pix_local, compaction, False)
+        )(its)
+        # counts here are per-shard; sum over devices for global counts
+        return rad.sum(0), jax.lax.psum(counts, "dev")
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P(), P("dev")),
+        out_specs=(P("dev"), P()),
+    )
+    return jax.jit(f)(scene, its, pix)
+
+
+def make_sharded_renderer(scene: Scene, compaction: str = "mask",
+                          mode: str = "samples"):
+    """CLI hook: returns ``fn(it0, step) -> (accum, counts)``."""
+    mesh = make_mesh()
+
+    def fn(it0, step):
+        if mode == "pixels":
+            return render_pixel_sharded(scene, it0, step, mesh, compaction)
+        return render_sample_sharded(scene, it0, step, mesh, compaction)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# differentiable step (the "training step" of this framework)
+# ---------------------------------------------------------------------------
+
+def sharded_grad_step(scene: Scene, target, it0: int, n_iters: int,
+                      mesh: Mesh, compaction: str = "mask"):
+    """One differentiable render step on the mesh.
+
+    Renders ``n_iters`` sample-sharded iterations, computes
+    ``loss = mean((render - target)^2)``, and returns
+    ``(loss, grads)`` where ``grads`` is a Scene-shaped pytree of
+    parameter gradients (materials, geometry TRS, camera), psum'd
+    across devices — the all-reduce XLA overlaps with the backward
+    bounce sweep.
+    """
+    from ..render.diff import merge_params, split_params
+
+    ndev = mesh.devices.size
+    if n_iters % ndev:
+        raise ValueError(f"n_iters={n_iters} not divisible by {ndev}")
+    its = it0 + jnp.arange(n_iters, dtype=jnp.int32)
+    params = split_params(scene)
+
+    def body(params, target, its_local):
+        def local_loss(params):
+            sc = merge_params(scene, params)
+            pix = jnp.arange(sc.pixel_count, dtype=jnp.int32)
+            rad, _ = jax.vmap(
+                lambda i: trace_pixels(sc, i, pix, compaction, True)
+            )(its_local)
+            img = jax.lax.psum(rad.sum(0), "dev") / float(n_iters)
+            return jnp.mean((img - target) ** 2)
+
+        loss, g = jax.value_and_grad(local_loss)(params)
+        # Backward bookkeeping in unchecked shard_map: the transpose of
+        # the forward image-psum psums the (replicated) cotangent, so
+        # each device's ``g`` is ndev x its own sample-shard's share.
+        # psum/ndev turns that into the exact global gradient (verified
+        # against the single-device gradient in tests/test_parallel.py).
+        # XLA schedules this all-reduce overlapped with the backward
+        # sweep.
+        ndev_f = float(ndev)
+        g = jax.tree.map(
+            lambda x: jax.lax.psum(x, "dev") / ndev_f, g
+        )
+        return loss, g
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P(), P("dev")),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(f)(params, target, its)

@@ -19,7 +19,7 @@ from .core.types import Scene
 from .render import integrator as I
 
 
-def oracle_iteration(scene: Scene, it: int):
+def oracle_iteration(scene: Scene, it: int, nee: bool = False):
     """One iteration (1 spp) in NumPy. Returns (radiance (P,3),
     live_counts (depth,))."""
     xp = np
@@ -39,11 +39,14 @@ def oracle_iteration(scene: Scene, it: int):
         pixel=pixel_ids,
         live=np.ones((n,), dtype=bool),
     )
+    if nee:
+        state["emit_ok"] = np.ones((n,), dtype=bool)
     live_counts = []
     for depth in range(scene.trace_depth):
         live_counts.append(int(state["live"].sum()))
         state = I._bounce(
-            scene, fwd, inv, inv_t, it_arr, np.int32(depth), state, xp=xp
+            scene, fwd, inv, inv_t, it_arr, np.int32(depth), state, xp=xp,
+            nee=nee,
         )
     return state["radiance"], np.asarray(live_counts, dtype=np.int32)
 

@@ -38,7 +38,7 @@ from ..core import rng
 from ..core import vecmath as vm
 from ..core.constants import PI
 from ..core.rng import Draw
-from ..core.types import Scene
+from ..core.types import Scene, SPHERE
 from ..ops.bsdf import sample_bsdf
 from ..ops.intersect import intersect_scene
 
@@ -111,22 +111,29 @@ def geom_transforms(geoms, xp=jnp):
 
 
 def _gather_material(materials, mid, xp=jnp):
+    # xp.asarray: the table may be a closed-over numpy constant while
+    # ``mid`` is traced (e.g. differentiating w.r.t. a param subset)
+    g = lambda a: xp.asarray(a)[mid]
     return dict(
-        color=materials.color[mid],
-        spec_color=materials.spec_color[mid],
-        spec_exponent=materials.spec_exponent[mid],
-        has_reflective=materials.has_reflective[mid],
-        has_refractive=materials.has_refractive[mid],
-        ior=materials.ior[mid],
-        emittance=materials.emittance[mid],
+        color=g(materials.color),
+        spec_color=g(materials.spec_color),
+        spec_exponent=g(materials.spec_exponent),
+        has_reflective=g(materials.has_reflective),
+        has_refractive=g(materials.has_refractive),
+        ior=g(materials.ior),
+        emittance=g(materials.emittance),
     )
 
 
-def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp):
+def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
+            nee: bool = False):
     """One wavefront bounce: intersect → terminate/accumulate → scatter.
 
     ``state`` is the carried dict; works under jnp (scan body) and numpy
-    (oracle loop) alike.
+    (oracle loop) alike.  With ``nee=True``, each diffuse surface also
+    samples every scene light directly (next-event estimation,
+    README.md:107-108) and BSDF-sampled emission is cancelled on the
+    following bounce for diffuse-sampled rays (no double counting).
     """
     o, d = state["origins"], state["dirs"]
     isect = intersect_scene(
@@ -135,7 +142,7 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp):
         tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
         xp=xp,
     )
-    mid = scene.geoms.material_id[isect["geom_idx"]]
+    mid = xp.asarray(scene.geoms.material_id)[isect["geom_idx"]]
     mat = _gather_material(scene.materials, mid, xp=xp)
 
     live = state["live"]
@@ -144,8 +151,12 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp):
 
     # terminate on emissive hit: add throughput * emission to the pixel
     # (spec src/pathtrace.cu:142-151); misses add nothing (black).
+    # Under NEE, only rays whose previous bounce was non-diffuse (or the
+    # camera) may collect BSDF-sampled emission.
     add = state["throughput"] * mat["color"] * mat["emittance"][:, None]
     lit = live & hit & emissive
+    if nee:
+        lit = lit & state["emit_ok"]
     radiance = state["radiance"] + xp.where(lit[:, None], add, 0.0)
 
     # scatter continuing rays (scatterRay spec, src/interactions.h:44-80)
@@ -159,12 +170,19 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp):
         spec_u1=rng.uniform(it, pix, dep, Draw.SPEC_U1, xp=xp),
         spec_u2=rng.uniform(it, pix, dep, Draw.SPEC_U2, xp=xp),
     )
-    new_dir, thr_mult = sample_bsdf(
+    new_dir, thr_mult, took_diffuse = sample_bsdf(
         d, isect["normal"], isect["outside"], mat, u, xp=xp
     )
     cont = live & hit & ~emissive
+
+    if nee:
+        radiance = radiance + _nee_direct(
+            scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
+            state["throughput"], cont, xp=xp,
+        )
+
     c3 = cont[:, None]
-    return dict(
+    out = dict(
         origins=xp.where(c3, isect["point"], o),
         dirs=xp.where(c3, new_dir, d),
         throughput=xp.where(c3, state["throughput"] * thr_mult,
@@ -173,6 +191,66 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp):
         pixel=pix,
         live=cont,
     )
+    if nee:
+        out["emit_ok"] = ~took_diffuse
+    return out
+
+
+def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
+                throughput, eligible, xp=jnp):
+    """Direct-light (NEE) radiance for the diffuse component at each
+    live non-emissive hit.  Loops over the static light set, one area
+    sample + one shadow ray per light (pathtrace_tpu.ops.lights)."""
+    from ..ops import lights as L
+
+    total = xp.zeros_like(throughput)
+    # the diffuse lobe exists on non-glass materials only; its BRDF is
+    # albedo/pi regardless of the specular sampling probability (lobes
+    # are summed, src/interactions.h:51-62)
+    has_diffuse = eligible & ~(mat["has_refractive"] > 0.0)
+    for k, li in enumerate(scene.light_indices):
+        base = Draw.NEE_BASE + 3 * k
+        u_sel = rng.uniform(it, pix, dep, base + 0, xp=xp)
+        u1 = rng.uniform(it, pix, dep, base + 1, xp=xp)
+        u2 = rng.uniform(it, pix, dep, base + 2, xp=xp)
+        if scene.geoms.type[li] == SPHERE:
+            lp, ln, area = L.sample_sphere_light(
+                fwd[li], inv_t[li], u1, u2, xp=xp
+            )
+        else:
+            lp, ln, area = L.sample_cube_light(
+                fwd[li], u_sel, u1, u2, xp=xp
+            )
+        l_mid = xp.asarray(scene.geoms.material_id)[li]  # may be traced
+        emission = (
+            xp.asarray(scene.materials.color)[l_mid]
+            * xp.asarray(scene.materials.emittance)[l_mid]
+        )[None]
+
+        # shadow ray from the (already backed-off) hit point
+        wl = lp - isect["point"]
+        dist_l = xp.sqrt(xp.maximum(xp.sum(wl * wl, axis=-1), 1e-12))
+        sdir = wl / dist_l[:, None]
+        shadow = intersect_scene(
+            isect["point"], sdir, scene.geoms.type, fwd, inv, inv_t,
+            tri_verts=scene.mesh.tri_verts if scene.mesh.count else None,
+            tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
+            xp=xp,
+        )
+        # visible iff the nearest hit is this (convex) light at ~the
+        # sampled distance
+        tol = xp.maximum(1e-3, 5e-3 * dist_l)
+        visible = (
+            shadow["hit"]
+            & (shadow["geom_idx"] == li)
+            & (xp.abs(shadow["dist"] - dist_l) < tol)
+        )
+        contrib = L.nee_contribution(
+            isect["point"], isect["normal"], mat["color"], throughput,
+            lp, ln, area, emission, ~visible, xp=xp,
+        )
+        total = total + xp.where(has_diffuse[:, None], contrib, 0.0)
+    return total
 
 
 def _densify(state, xp=jnp):
@@ -188,11 +266,66 @@ def _densify(state, xp=jnp):
     return {k: v[perm] for k, v in state.items()}
 
 
+def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",
+                 remat: bool = True, nee: bool = False):
+    """Trace one 1-spp sample for an arbitrary set of pixel ids.
+
+    The building block for sharding: because every random draw is keyed
+    on the *global* pixel id, tracing a subset of pixels on one device
+    of a mesh produces exactly the rows the full-image trace would.
+    Not jitted itself — called inside :func:`pathtrace_iteration` and
+    inside `shard_map` bodies (pathtrace_tpu.parallel).
+    """
+    width, height = scene.resolution
+    n = pixel_ids.shape[0]
+    fwd, inv, inv_t = geom_transforms(scene.geoms)
+    it = jnp.asarray(it, dtype=jnp.int32)
+    origins, dirs = raygen(scene.camera, width, height, it, pixel_ids)
+
+    state = dict(
+        origins=origins,
+        dirs=dirs,
+        throughput=jnp.ones((n, 3), dtype=jnp.float32),
+        radiance=jnp.zeros((n, 3), dtype=jnp.float32),
+        pixel=pixel_ids,
+        live=jnp.ones((n,), dtype=bool),
+    )
+    if nee:
+        state["emit_ok"] = jnp.ones((n,), dtype=bool)
+
+    def body(carry, depth):
+        live_in = jnp.sum(carry["live"].astype(jnp.int32))
+        nxt = _bounce(scene, fwd, inv, inv_t, it, depth, carry, nee=nee)
+        if compaction == "sort":
+            nxt = _densify(nxt)
+        return nxt, live_in
+
+    if remat:
+        body = jax.checkpoint(body)
+    state, live_counts = jax.lax.scan(
+        body, state, jnp.arange(scene.trace_depth, dtype=jnp.int32)
+    )
+    # paths still alive after max depth contribute black
+    # (spec src/pathtrace.cu:157-158) — already true: radiance untouched.
+
+    # un-permute radiance back to input row order (no-op for 'mask')
+    radiance = state["radiance"]
+    if compaction == "sort":
+        row_of_pixel = jnp.argsort(state["pixel"], stable=True)
+        # rows were a permutation of the input pixel_ids; restore by
+        # inverting the carried permutation
+        order = jnp.argsort(
+            jnp.argsort(pixel_ids, stable=True), stable=True
+        )
+        radiance = radiance[row_of_pixel][order]
+    return radiance, live_counts
+
+
 @functools.partial(
-    jax.jit, static_argnames=("compaction", "remat")
+    jax.jit, static_argnames=("compaction", "remat", "nee")
 )
 def pathtrace_iteration(scene: Scene, it, compaction: str = "mask",
-                        remat: bool = True):
+                        remat: bool = True, nee: bool = False):
     """One progressive-refinement iteration (1 sample/pixel), jitted.
 
     Args:
@@ -211,51 +344,16 @@ def pathtrace_iteration(scene: Scene, it, compaction: str = "mask",
       live_counts: (depth,) int32 — live rays entering each bounce, the
         reference's mandated per-bounce instrumentation (README.md:284-293).
     """
-    width, height = scene.resolution
-    n = width * height
-    fwd, inv, inv_t = geom_transforms(scene.geoms)
-    pixel_ids = jnp.arange(n, dtype=jnp.int32)
-    it = jnp.asarray(it, dtype=jnp.int32)
-    origins, dirs = raygen(scene.camera, width, height, it, pixel_ids)
-
-    state = dict(
-        origins=origins,
-        dirs=dirs,
-        throughput=jnp.ones((n, 3), dtype=jnp.float32),
-        radiance=jnp.zeros((n, 3), dtype=jnp.float32),
-        pixel=pixel_ids,
-        live=jnp.ones((n,), dtype=bool),
-    )
-
-    def body(carry, depth):
-        live_in = jnp.sum(carry["live"].astype(jnp.int32))
-        nxt = _bounce(scene, fwd, inv, inv_t, it, depth, carry)
-        if compaction == "sort":
-            nxt = _densify(nxt)
-        return nxt, live_in
-
-    if remat:
-        body = jax.checkpoint(body)
-    state, live_counts = jax.lax.scan(
-        body, state, jnp.arange(scene.trace_depth, dtype=jnp.int32)
-    )
-    # paths still alive after max depth contribute black
-    # (spec src/pathtrace.cu:157-158) — already true: radiance untouched.
-
-    # un-permute radiance back to pixel order (no-op for 'mask')
-    radiance = state["radiance"]
-    if compaction == "sort":
-        radiance = (
-            jnp.zeros_like(radiance).at[state["pixel"]].set(radiance)
-        )
-    return radiance, live_counts
+    pixel_ids = jnp.arange(scene.pixel_count, dtype=jnp.int32)
+    return trace_pixels(scene, it, pixel_ids, compaction, remat, nee)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "compaction", "remat")
+    jax.jit, static_argnames=("n_iters", "compaction", "remat", "nee")
 )
 def pathtrace_batch(scene: Scene, it0, n_iters: int,
-                    compaction: str = "mask", remat: bool = True):
+                    compaction: str = "mask", remat: bool = True,
+                    nee: bool = False):
     """Sum of ``n_iters`` consecutive iterations starting at ``it0``.
 
     vmapped over the iteration index — the sample axis is the TPU's
@@ -266,13 +364,13 @@ def pathtrace_batch(scene: Scene, it0, n_iters: int,
         n_iters, dtype=jnp.int32
     )
     rad, counts = jax.vmap(
-        lambda i: pathtrace_iteration(scene, i, compaction, remat)
+        lambda i: pathtrace_iteration(scene, i, compaction, remat, nee)
     )(its)
     return jnp.sum(rad, axis=0), counts
 
 
 def render(scene: Scene, n_iters: int | None = None, chunk: int = 8,
-           compaction: str = "mask", callback=None):
+           compaction: str = "mask", callback=None, nee: bool = False):
     """Run-to-completion progressive render (the role of the reference's
     runCuda loop, src/main.cpp:72-112), chunking iterations for TPU
     efficiency.
@@ -286,7 +384,8 @@ def render(scene: Scene, n_iters: int | None = None, chunk: int = 8,
     while done < n_iters:
         step = min(chunk, n_iters - done)
         rad, counts = pathtrace_batch(
-            scene, done + 1, step, compaction=compaction, remat=False
+            scene, done + 1, step, compaction=compaction, remat=False,
+            nee=nee,
         )
         accum = accum + rad
         done += step

@@ -235,12 +235,17 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         aperture=np.asarray(camera["aperture"], dtype=f32),
         focal_dist=np.asarray(camera["focal"], dtype=f32),
     )
+    light_indices = tuple(
+        i for i, g in enumerate(geoms)
+        if materials[g["material_id"]]["emittance"] > 0
+    )
     return T.Scene(
         materials=mats, geoms=gs, mesh=mesh, camera=cam_t,
         resolution=tuple(camera["resolution"]),
         trace_depth=int(camera["depth"]),
         iterations=int(camera["iterations"]),
         image_name=camera["file"],
+        light_indices=light_indices,
     )
 
 

@@ -1,0 +1,171 @@
+"""Next-event estimation (direct lighting): unbiasedness, variance,
+and the geometry gradients it enables."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+import pathtrace_tpu as pt
+from pathtrace_tpu.ops import lights as L
+from pathtrace_tpu.render import diff
+
+
+class TestLightSampling:
+    def test_cube_light_area_and_normals(self):
+        from pathtrace_tpu.core import vecmath as vm
+
+        # cornell's light: TRANS (0,10,0) SCALE (3,.3,3)
+        fwd = vm.trs_matrix(
+            np.asarray([0, 10, 0.0], np.float32),
+            np.asarray([0, 0, 0.0], np.float32),
+            np.asarray([3, 0.3, 3.0], np.float32), xp=np,
+        )
+        tab = L.cube_light_tables(fwd, xp=np)
+        # areas: two 3x3 y-faces (9), four 3x0.3 side faces (0.9)
+        np.testing.assert_allclose(
+            np.sort(tab["area"]), [0.9, 0.9, 0.9, 0.9, 9.0, 9.0], atol=1e-5
+        )
+        # normals are unit and outward (dot with center offset > 0)
+        for f in range(6):
+            n = tab["normal"][f]
+            assert abs(np.linalg.norm(n) - 1) < 1e-5
+            assert np.dot(n, tab["origin"][f] - [0, 10, 0]) > 0
+
+    def test_cube_sampling_uniform_by_area(self):
+        from pathtrace_tpu.core import vecmath as vm
+
+        fwd = vm.trs_matrix(
+            np.asarray([0, 10, 0.0], np.float32),
+            np.asarray([0, 0, 0.0], np.float32),
+            np.asarray([3, 0.3, 3.0], np.float32), xp=np,
+        )
+        n = 200000
+        rs = np.random.RandomState(0)
+        pts, normals, total = L.sample_cube_light(
+            fwd, rs.rand(n).astype(np.float32),
+            rs.rand(n).astype(np.float32), rs.rand(n).astype(np.float32),
+            xp=np,
+        )
+        assert total == pytest.approx(2 * 9 + 4 * 0.9, rel=1e-5)
+        # fraction on top/bottom faces = 18/21.6
+        on_y = np.abs(np.abs(pts[:, 1] - 10.0) - 0.15) < 1e-4
+        assert abs(on_y.mean() - 18 / 21.6) < 0.01
+        # all points on the box surface
+        assert np.abs(pts[:, 0]).max() <= 1.5 + 1e-4
+        assert np.abs(pts[:, 2]).max() <= 1.5 + 1e-4
+
+    def test_sphere_sampling_on_surface(self):
+        from pathtrace_tpu.core import vecmath as vm
+
+        fwd = vm.trs_matrix(
+            np.asarray([1, 2, 3.0], np.float32),
+            np.asarray([0, 0, 0.0], np.float32),
+            np.asarray([2, 2, 2.0], np.float32), xp=np,
+        )
+        inv = vm.trs_inverse(
+            np.asarray([1, 2, 3.0], np.float32),
+            np.asarray([0, 0, 0.0], np.float32),
+            np.asarray([2, 2, 2.0], np.float32), xp=np,
+        )
+        n = 50000
+        rs = np.random.RandomState(1)
+        pts, normals, area = L.sample_sphere_light(
+            fwd, np.swapaxes(inv, -1, -2),
+            rs.rand(n).astype(np.float32), rs.rand(n).astype(np.float32),
+            xp=np,
+        )
+        r = np.linalg.norm(pts - [1, 2, 3], axis=1)
+        np.testing.assert_allclose(r, 1.0, atol=1e-5)  # radius 0.5*2
+        assert area == pytest.approx(4 * np.pi, rel=1e-5)
+        # normals point radially outward
+        out = (pts - [1, 2, 3]) / r[:, None]
+        np.testing.assert_allclose(normals, out, atol=1e-4)
+
+
+class TestNEEUnbiased:
+    def test_nee_matches_bsdf_expectation(self, cornell_scene):
+        small = dataclasses.replace(
+            cornell_scene, resolution=(32, 32), trace_depth=4
+        )
+        rad_nee, _ = pt.pathtrace_batch(small, 1, 32, nee=True, remat=False)
+        rad_pt, _ = pt.pathtrace_batch(small, 1, 256, remat=False)
+        m_nee = float(np.asarray(rad_nee).mean()) / 32
+        m_pt = float(np.asarray(rad_pt).mean()) / 256
+        assert m_nee == pytest.approx(m_pt, rel=0.12)
+
+    def test_nee_reduces_variance(self, cornell_scene):
+        """Per-iteration pixel variance across iterations must drop
+        substantially with NEE (the point of direct lighting)."""
+        small = dataclasses.replace(
+            cornell_scene, resolution=(16, 16), trace_depth=3
+        )
+
+        def iter_stack(nee):
+            outs = []
+            for it in range(1, 17):
+                r, _ = pt.pathtrace_iteration(small, it, nee=nee)
+                outs.append(np.asarray(r))
+            return np.stack(outs)
+
+        v_plain = iter_stack(False).var(axis=0).mean()
+        v_nee = iter_stack(True).var(axis=0).mean()
+        assert v_nee < v_plain * 0.6
+
+    def test_oracle_matches_nee(self, cornell_scene):
+        from pathtrace_tpu.reference_oracle import oracle_iteration
+
+        small = dataclasses.replace(
+            cornell_scene, resolution=(32, 32), trace_depth=3
+        )
+        rad_j, _ = pt.pathtrace_iteration(small, 1, nee=True)
+        rad_n, _ = oracle_iteration(small, 1, nee=True)
+        d = np.abs(np.asarray(rad_j) - rad_n).max(axis=-1)
+        assert (d > 1e-3).mean() < 0.01
+
+
+class TestNEEGeometryGradients:
+    def test_light_translation_grad_nonzero_matches_fd(self, cornell_scene):
+        tiny = dataclasses.replace(
+            cornell_scene, resolution=(16, 16), trace_depth=2
+        )
+        params = diff.split_params(tiny)
+
+        def loss(p):
+            img = diff.render_mean(
+                diff.merge_params(tiny, p), 1, 2, nee=True
+            )
+            return (img**2).mean()
+
+        g = jax.jit(jax.grad(loss))(params)
+        an = float(np.asarray(g["translation"])[0, 1])  # light height
+        assert np.isfinite(an) and an != 0.0
+
+        eps = 1e-3
+        def at(dy):
+            p2 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+            t = p2["translation"].copy()
+            t[0, 1] += dy
+            p2["translation"] = t
+            return float(jax.jit(loss)(p2))
+
+        fd = (at(eps) - at(-eps)) / (2 * eps)
+        assert an == pytest.approx(fd, rel=0.05)
+
+    def test_receiver_scale_grad_nonzero(self, cornell_scene):
+        tiny = dataclasses.replace(
+            cornell_scene, resolution=(16, 16), trace_depth=2
+        )
+        params = diff.split_params(tiny)
+
+        def loss(p):
+            img = diff.render_mean(
+                diff.merge_params(tiny, p), 1, 2, nee=True
+            )
+            return (img**2).mean()
+
+        g = jax.jit(jax.grad(loss))(params)
+        assert np.abs(np.asarray(g["scale"])).sum() > 0
+        assert np.abs(np.asarray(g["rotation"])).sum() >= 0  # finite
+        assert np.isfinite(np.asarray(g["rotation"])).all()
