@@ -108,13 +108,22 @@ def main(argv=None) -> int:
         and not args.nee
         and args.compaction == "mask"
     ):
-        from pathtrace_tpu.ops.pallas.megakernel import (
-            pathtrace_batch_pallas,
-        )
+        import jax
 
-        render_fn = lambda it0, step: pathtrace_batch_pallas(
-            scene, it0, step
-        )
+        if jax.default_backend() in ("tpu", "axon"):
+            from pathtrace_tpu.ops.pallas.megakernel import (
+                pathtrace_batch_pallas,
+            )
+
+            render_fn = lambda it0, step: pathtrace_batch_pallas(
+                scene, it0, step
+            )
+        else:
+            print(
+                "[pathtrace_tpu] pallas engine needs a TPU backend; "
+                "falling back to xla",
+                flush=True,
+            )
 
     def save_final(accum, samples):
         img = image_io.to_display(accum, width, height, samples)

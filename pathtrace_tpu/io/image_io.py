@@ -32,9 +32,18 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
 
 
 def save_png(path: str, img: np.ndarray) -> str:
+    u8 = to_uint8(img)
+    try:
+        from ..native import lib as N
+
+        if N.available():
+            N.write_png_native(path, u8)
+            return path
+    except Exception:
+        pass
     from PIL import Image
 
-    Image.fromarray(to_uint8(img), mode="RGB").save(path)
+    Image.fromarray(u8, mode="RGB").save(path)
     return path
 
 

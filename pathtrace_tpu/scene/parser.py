@@ -40,7 +40,19 @@ def _safe_lines(text: str) -> List[str]:
     return text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
 
 
-def load_scene(path: str) -> T.Scene:
+def load_scene(path: str, native: Optional[bool] = None) -> T.Scene:
+    """Load a scene file.  Uses the C++ parser when its shared library is
+    available (pathtrace_tpu/native — identical output, asserted in
+    tests/test_native.py); ``native=False`` or PT_NO_NATIVE=1 forces the
+    Python path."""
+    if native is not False:
+        try:
+            from ..native import lib as N
+
+            if N.available():
+                return N.parse_scene_native(path=path)
+        except ImportError:
+            pass
     with open(path, "r") as f:
         text = f.read()
     return parse_scene(text, base_dir=os.path.dirname(os.path.abspath(path)))
