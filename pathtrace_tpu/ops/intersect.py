@@ -236,33 +236,220 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
 
     for g in range(len(types)):
         # Static types mean only the matching primitive test is emitted.
+        # Single-geom kernels keep every temp at (N,3) — a (N,1,3)
+        # sliced form pads 42x under TPU (8,128) tiling and OOMs
+        # megaray wavefronts.
         if types[g] == T.MESH:
             continue  # mesh placeholder geoms hit via their triangles
-        sl = slice(g, g + 1)
         if types[g] == T.SPHERE:
-            d, p, nr, o = intersect_spheres(
-                origins, dirs, fwd[sl], inv[sl], inv_t[sl], xp=xp
+            d, p, nr, o = _one_sphere(
+                origins, dirs, fwd[g], inv[g], inv_t[g], xp=xp
             )
         else:
-            d, p, nr, o = intersect_boxes(
-                origins, dirs, fwd[sl], inv[sl], xp=xp
-            )
-        best = fold(
-            best, d[:, 0], p[:, 0], nr[:, 0], o[:, 0],
-            xp.full((n,), g, dtype=xp.int32),
-        )
+            d, p, nr, o = _one_box(origins, dirs, fwd[g], inv[g], xp=xp)
+        best = fold(best, d, p, nr, o, xp.full((n,), g, dtype=xp.int32))
 
     if tri_verts is not None and tri_verts.shape[0] > 0:
-        d_tri, p_tri, n_tri, o_tri = intersect_triangles(
-            origins, dirs, tri_verts, tri_geom, fwd, inv, inv_t, xp=xp
-        )
-        bt = xp.argmin(d_tri, axis=1)
-        take = lambda a: xp.take_along_axis(a, bt[:, None], axis=1)[:, 0]
-        take3 = lambda a: xp.take_along_axis(a, bt[:, None, None], axis=1)[:, 0]
-        best = fold(
-            best, take(d_tri), take3(p_tri), take3(n_tri), take(o_tri),
-            xp.asarray(tri_geom, dtype=xp.int32)[bt],
+        best = _fold_triangles(
+            best, fold, origins, dirs, tri_verts, tri_geom, fwd, inv,
+            inv_t, xp=xp,
         )
 
     best["hit"] = best["dist"] < NO_HIT
     return best
+
+
+def _mat3_rows(m4, v, xp=jnp, translate=False):
+    """(4,4) linear part applied to (N,3), explicit mul-adds."""
+    m = m4[:3, :3]
+    out = xp.stack(
+        [
+            m[i, 0] * v[:, 0] + m[i, 1] * v[:, 1] + m[i, 2] * v[:, 2]
+            + (m4[i, 3] if translate else 0.0)
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    return out
+
+
+def _one_box(origins, dirs, fwd_g, inv_g, xp=jnp):
+    """Slab test vs one unit cube; all temps (N,3)/(N,).  Same
+    semantics as intersect_boxes (src/intersections.h:47-89)."""
+    ro = _mat3_rows(inv_g, origins, xp=xp, translate=True)
+    rd = vm.normalize(_mat3_rows(inv_g, dirs, xp=xp), xp=xp)
+
+    t1 = (-0.5 - ro) / rd
+    t2 = (0.5 - ro) / rd
+    ta = xp.minimum(t1, t2)
+    tb = xp.maximum(t1, t2)
+    axis_sign = xp.where(t2 < t1, 1.0, -1.0)
+
+    ta_m = xp.where(ta > 0, ta, -1e38)
+    tmin = xp.max(ta_m, axis=-1)
+    near_axis = xp.argmax(ta_m, axis=-1)
+    tmax = xp.min(tb, axis=-1)
+    far_axis = xp.argmin(tb, axis=-1)
+
+    eye = xp.eye(3, dtype=ro.dtype)
+    near_n = eye[near_axis] * xp.take_along_axis(
+        axis_sign, near_axis[:, None], axis=-1
+    )
+    far_n = eye[far_axis] * xp.take_along_axis(
+        axis_sign, far_axis[:, None], axis=-1
+    )
+
+    hit = (tmax >= tmin) & (tmax > 0)
+    inside = tmin <= 0
+    t_use = xp.where(inside, tmax, tmin)
+    n_obj = xp.where(inside[:, None], far_n, near_n)
+    outside = hit & ~inside
+
+    p_obj = ro + (t_use[:, None] - RAY_OFFSET) * rd
+    point = _mat3_rows(fwd_g, p_obj, xp=xp, translate=True)
+    # quirk preserved: box normal via the FORWARD transform (:85)
+    normal = vm.normalize(_mat3_rows(fwd_g, n_obj, xp=xp), xp=xp)
+    dist = vm.norm(origins - point, xp=xp)[..., 0]
+    return xp.where(hit, dist, NO_HIT), point, normal, outside
+
+
+def _one_sphere(origins, dirs, fwd_g, inv_g, inv_t_g, xp=jnp):
+    """Quadratic test vs one unit sphere; all temps (N,3)/(N,).
+    Same semantics as intersect_spheres (src/intersections.h:101-143)."""
+    ro = _mat3_rows(inv_g, origins, xp=xp, translate=True)
+    rd = vm.normalize(_mat3_rows(inv_g, dirs, xp=xp), xp=xp)
+
+    v_dot_d = xp.sum(ro * rd, axis=-1)
+    radicand = v_dot_d * v_dot_d - (xp.sum(ro * ro, axis=-1) - 0.25)
+    has_root = radicand >= 0
+    sq = xp.sqrt(xp.where(has_root, radicand, 1.0))
+    t1 = -v_dot_d + sq
+    t2 = -v_dot_d - sq
+
+    both_neg = (t1 < 0) & (t2 < 0)
+    both_pos = (t1 > 0) & (t2 > 0)
+    t_use = xp.where(both_pos, xp.minimum(t1, t2), xp.maximum(t1, t2))
+    outside_raw = both_pos
+    hit = has_root & ~both_neg
+
+    p_obj = ro + (t_use[:, None] - RAY_OFFSET) * rd
+    point = _mat3_rows(fwd_g, p_obj, xp=xp, translate=True)
+    normal = vm.normalize(
+        _mat3_rows(inv_t_g, p_obj, xp=xp), xp=xp, eps=1e-20
+    )
+    normal = xp.where(outside_raw[:, None], normal, -normal)
+    dist = vm.norm(origins - point, xp=xp)[..., 0]
+    return xp.where(hit, dist, NO_HIT), point, normal, hit & outside_raw
+
+
+def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
+                    fwd, inv, inv_t, xp=jnp):
+    """Fold mesh triangles into the running-min via a `lax.scan` over
+    the triangle axis (python loop under numpy).
+
+    One traced body instance and O(N) temporaries — the (N, T)
+    broadcast form compiles pathologically on TPU (minutes at 100k+
+    rays) and materializes T× the wavefront; the scan costs one body
+    per triangle at runtime, which the Pallas mesh kernel will replace
+    for large T.
+    """
+    fwd_g = fwd[tri_geom]       # (T,4,4)
+    inv_g = inv[tri_geom]
+    inv_t_g = inv_t[tri_geom]
+    gidx = xp.asarray(tri_geom, dtype=xp.int32)
+
+    def body(best, tri):
+        v, fg, ig, itg, gi = tri
+        d, p, nr, o = _intersect_one_triangle(
+            origins, dirs, v, fg, ig, itg, xp=xp
+        )
+        n = origins.shape[0]
+        return fold(best, d, p, nr, o,
+                    xp.full((n,), gi, dtype=xp.int32)), None
+
+    if xp is jnp:
+        import jax
+
+        best, _ = jax.lax.scan(
+            lambda b, t: body(b, t), best,
+            (tri_verts, fwd_g, inv_g, inv_t_g, gidx),
+        )
+    else:
+        for t in range(tri_verts.shape[0]):
+            best, _ = body(
+                best,
+                (tri_verts[t], fwd_g[t], inv_g[t], inv_t_g[t], gidx[t]),
+            )
+    return best
+
+
+def _intersect_one_triangle(origins, dirs, tri, fwd_g, inv_g, inv_t_g,
+                            xp=jnp):
+    """Möller–Trumbore for one triangle vs (N,) rays; same conventions
+    as intersect_triangles (object-space normalize, 1e-4 back-off,
+    world distance, ray-facing normal)."""
+    i3 = inv_g[:3, :3]
+    ro = xp.stack(
+        [
+            i3[i, 0] * origins[:, 0] + i3[i, 1] * origins[:, 1]
+            + i3[i, 2] * origins[:, 2] + inv_g[i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    rd = xp.stack(
+        [
+            i3[i, 0] * dirs[:, 0] + i3[i, 1] * dirs[:, 1]
+            + i3[i, 2] * dirs[:, 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    rd = vm.normalize(rd, xp=xp)
+
+    v0, v1, v2 = tri[0], tri[1], tri[2]  # (3,)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = vm.cross(rd, xp.broadcast_to(e2[None], rd.shape), xp=xp)
+    det = xp.sum(pvec * e1[None], axis=-1)
+    det_safe = xp.where(xp.abs(det) > 1e-12, det, 1.0)
+    inv_det = 1.0 / det_safe
+    tvec = ro - v0[None]
+    u = xp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = vm.cross(tvec, xp.broadcast_to(e1[None], tvec.shape), xp=xp)
+    v = xp.sum(rd * qvec, axis=-1) * inv_det
+    t = xp.sum(e2[None] * qvec, axis=-1) * inv_det
+    hit = (
+        (xp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    )
+
+    p_obj = ro + (t[:, None] - RAY_OFFSET) * rd
+    f3 = fwd_g[:3, :3]
+    point = xp.stack(
+        [
+            f3[i, 0] * p_obj[:, 0] + f3[i, 1] * p_obj[:, 1]
+            + f3[i, 2] * p_obj[:, 2] + fwd_g[i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    n_obj = vm.normalize(vm.cross(e1, e2, xp=xp), xp=xp, eps=1e-20)
+    n_obj_b = xp.broadcast_to(n_obj[None], rd.shape)
+    outside_raw = xp.sum(rd * n_obj_b, axis=-1) < 0.0
+    n_obj_b = xp.where(outside_raw[:, None], n_obj_b, -n_obj_b)
+    t3 = inv_t_g[:3, :3]
+    normal = vm.normalize(
+        xp.stack(
+            [
+                t3[i, 0] * n_obj_b[:, 0] + t3[i, 1] * n_obj_b[:, 1]
+                + t3[i, 2] * n_obj_b[:, 2]
+                for i in range(3)
+            ],
+            axis=-1,
+        ),
+        xp=xp, eps=1e-20,
+    )
+    dist = vm.norm(origins - point, xp=xp)[..., 0]
+    dist = xp.where(hit, dist, NO_HIT)
+    return dist, point, normal, outside_raw & hit

@@ -81,11 +81,12 @@ def _mix4(a, b, c, d):
     return a, d
 
 
-def _uniform(it_u32, pix_u32, depth: int, draw: int):
+def _uniform(it_u32, pix_u32, depth, draw: int):
+    # ``depth`` may be a traced scalar (fori_loop index)
     a, d = _mix4(
         it_u32,
         pix_u32,
-        jnp.full_like(pix_u32, jnp.uint32(depth)),
+        jnp.full_like(pix_u32, depth).astype(jnp.uint32),
         jnp.full_like(pix_u32, jnp.uint32(draw)),
     )
     bits = a ^ d
@@ -471,14 +472,18 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, rad_r_ref, rad_g_ref,
             live=jnp.where(cont, 1.0, 0.0).astype(jnp.float32),
         )
 
-    # ---- the bounce loop, with per-tile early exit (TPU compaction)
+    # ---- the bounce loop (fori_loop: one traced body instead of
+    # ``depth`` unrolled copies — Mosaic compile time scales with code
+    # size, and the unrolled 8x7 intersect+shade body took minutes).
     # counts are accumulated as a one-hot plane (scalar VMEM stores are
     # not supported by Mosaic): row 0, col d holds bounce d's live count
     counts_acc = jnp.zeros((8, LANES), jnp.int32)
     crow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    for d in range(depth):
-        n_live = jnp.sum(state["live"]).astype(jnp.int32)
+
+    def depth_body(d, carry):
+        st, counts_acc = carry
+        n_live = jnp.sum(st["live"]).astype(jnp.int32)
         counts_acc = counts_acc + jnp.where(
             (crow == 0) & (ccol == d), n_live, 0
         )
@@ -488,9 +493,14 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, rad_r_ref, rad_g_ref,
             return shade(st, isect, d)
 
         if early_exit:
-            state = jax.lax.cond(n_live > 0, do_bounce, lambda st: st, state)
+            st = jax.lax.cond(n_live > 0, do_bounce, lambda q: q, st)
         else:
-            state = do_bounce(state)
+            st = do_bounce(st)
+        return st, counts_acc
+
+    state, counts_acc = jax.lax.fori_loop(
+        0, depth, depth_body, (state, counts_acc)
+    )
 
     counts_ref[:, :] = counts_acc
     rad_r_ref[:, :] = state["rr"]
