@@ -45,8 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a Radiance .hdr")
     p.add_argument("--compaction", choices=["mask", "sort"], default="mask")
     p.add_argument("--engine", choices=["pallas", "xla"], default="pallas",
-                   help="pallas = VMEM megakernel (fastest, primitives "
-                        "only); xla = jnp wavefront (meshes, NEE, diff)")
+                   help="pallas = VMEM megakernel (fastest; primitives "
+                        "and meshes); xla = jnp wavefront (NEE, "
+                        "sort-compaction, differentiation)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation / direct lighting "
                         "(xla engine)")
@@ -104,7 +105,6 @@ def main(argv=None) -> int:
         render_fn = make_sharded_renderer(scene, args.compaction)
     elif (
         args.engine == "pallas"
-        and not scene.mesh.count
         and not args.nee
         and args.compaction == "mask"
     ):

@@ -106,9 +106,8 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
-def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, rad_r_ref, rad_g_ref,
-            rad_b_ref, counts_ref, *, geom_types, width, height, depth,
-            n_pixels, early_exit=False):
+def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
+            width, height, depth, n_pixels, n_tris=0, early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -116,12 +115,21 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, rad_r_ref, rad_g_ref,
       aperture focal.
     mats_ref: (G,16) VMEM f32 per-geom *gathered* material rows:
       color(3) spec_color(3) spec_ex refl refr ior emit pad...
-    gmat_ref: (G,32) VMEM f32 per-geom transforms: fwd 3x4 (12),
-      inv 3x4 (12), invT 3x3 row-major (9) -> padded to 32.
+    gmat_ref: (G,36) VMEM f32 per-geom transforms: fwd 3x4 (12),
+      inv 3x4 (12), invT 3x3 row-major (9) -> padded to 36.
+    tri_ref (only when n_tris > 0): (T, 128) VMEM f32 per-triangle rows
+      [inv 3x4 | fwd 3x4 | invT 3x3 | v0 | e1 | e2 | n_obj | material
+      row (11)] — triangles live in VMEM and fold via fori_loop, the
+      Pallas answer to mesh scenes (the XLA scan-fold pays ~26 full
+      HBM wavefront passes per bounce; here it's all on-chip).
     rad_*_ref: (SUB,128) VMEM f32 outputs (radiance planes).
     counts_ref: (8, 128) VMEM i32 output; row 0, col d = live lanes
       entering bounce d (padded block to satisfy TPU tiling).
     """
+    if n_tris:
+        tri_ref, rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
+    else:
+        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     tile = pl.program_id(0)
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
@@ -325,6 +333,84 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, rad_r_ref, rad_g_ref,
                 m_ior=sel(mt(9), best["m_ior"]),
                 m_emit=sel(mt(10), best["m_emit"]),
             )
+        if n_tris:
+            def tri_body(t, best):
+                m = lambda k: tri_ref[t, k]
+                rox = m(0) * ox + m(1) * oy + m(2) * oz + m(3)
+                roy = m(4) * ox + m(5) * oy + m(6) * oz + m(7)
+                roz = m(8) * ox + m(9) * oy + m(10) * oz + m(11)
+                rdx = m(0) * dx + m(1) * dy + m(2) * dz
+                rdy = m(4) * dx + m(5) * dy + m(6) * dz
+                rdz = m(8) * dx + m(9) * dy + m(10) * dz
+                rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
+
+                v0x, v0y, v0z = m(33), m(34), m(35)
+                e1x, e1y, e1z = m(36), m(37), m(38)
+                e2x, e2y, e2z = m(39), m(40), m(41)
+                # pvec = rd x e2
+                pvx = rdy * e2z - rdz * e2y
+                pvy = rdz * e2x - rdx * e2z
+                pvz = rdx * e2y - rdy * e2x
+                det = pvx * e1x + pvy * e1y + pvz * e1z
+                ok = jnp.abs(det) > 1e-12
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                # qvec = tvec x e1
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                hit = ok & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0) \
+                    & (tt > 0.0)
+                tofs = tt - jnp.float32(RAY_OFFSET)
+                qx = rox + tofs * rdx
+                qy = roy + tofs * rdy
+                qz = roz + tofs * rdz
+                pxw = m(12) * qx + m(13) * qy + m(14) * qz + m(15)
+                pyw = m(16) * qx + m(17) * qy + m(18) * qz + m(19)
+                pzw = m(20) * qx + m(21) * qy + m(22) * qz + m(23)
+                # ray-facing object normal, then invT to world
+                nox, noy, noz = m(42), m(43), m(44)
+                face = rdx * nox + rdy * noy + rdz * noz
+                flip = jnp.where(face < 0.0, 1.0, -1.0)
+                nx0 = (m(24) * nox + m(25) * noy + m(26) * noz) * flip
+                ny0 = (m(27) * nox + m(28) * noy + m(29) * noz) * flip
+                nz0 = (m(30) * nox + m(31) * noy + m(32) * noz) * flip
+                nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                outside = hit & (face < 0.0)
+                ddx, ddy, ddz = ox - pxw, oy - pyw, oz - pzw
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
+
+                better = dist < best["dist"]
+                sel = lambda a, b: jnp.where(better, a, b)
+                return dict(
+                    dist=sel(dist, best["dist"]),
+                    px=sel(pxw, best["px"]), py=sel(pyw, best["py"]),
+                    pz=sel(pzw, best["pz"]),
+                    nx=sel(nx0, best["nx"]), ny=sel(ny0, best["ny"]),
+                    nz=sel(nz0, best["nz"]),
+                    outside=sel(
+                        jnp.where(outside, 1.0, 0.0).astype(jnp.float32),
+                        best["outside"],
+                    ),
+                    mc_r=sel(m(45), best["mc_r"]),
+                    mc_g=sel(m(46), best["mc_g"]),
+                    mc_b=sel(m(47), best["mc_b"]),
+                    ms_r=sel(m(48), best["ms_r"]),
+                    ms_g=sel(m(49), best["ms_g"]),
+                    ms_b=sel(m(50), best["ms_b"]),
+                    m_ex=sel(m(51), best["m_ex"]),
+                    m_refl=sel(m(52), best["m_refl"]),
+                    m_refr=sel(m(53), best["m_refr"]),
+                    m_ior=sel(m(54), best["m_ior"]),
+                    m_emit=sel(m(55), best["m_emit"]),
+                )
+
+            best = jax.lax.fori_loop(0, n_tris, tri_body, best)
+
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
 
@@ -546,31 +632,58 @@ def _pack_scene(scene):
         inv_t[:, :3, :3].reshape(-1, 9),
         jnp.zeros((fwd.shape[0], 3), jnp.float32),
     ], axis=1)  # (G,36)
-    return cam, mats, gmat
+
+    tri = None
+    if scene.mesh.count:
+        tg = scene.mesh.tri_geom
+        tv = scene.mesh.tri_verts  # (T,3,3)
+        v0 = tv[:, 0]
+        e1 = tv[:, 1] - tv[:, 0]
+        e2 = tv[:, 2] - tv[:, 0]
+        n_obj = jnp.cross(e1, e2)
+        n_obj = n_obj / jnp.maximum(
+            jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
+        )
+        tmats = mats[:, :11][tg]  # per-geom material rows -> per-tri
+        t_count = tv.shape[0]
+        tri = jnp.concatenate([
+            inv[tg][:, :3, :].reshape(-1, 12),     # 0..11
+            fwd[tg][:, :3, :].reshape(-1, 12),     # 12..23
+            inv_t[tg][:, :3, :3].reshape(-1, 9),   # 24..32
+            v0, e1, e2, n_obj,                     # 33..44
+            tmats,                                 # 45..55
+            jnp.zeros((t_count, 128 - 56), jnp.float32),
+        ], axis=1)  # (T,128)
+    return cam, mats, gmat, tri
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "trace_depth",
                                              "geom_types", "interpret",
                                              "early_exit"))
-def _run(cam, mats, gmat, it, resolution, trace_depth, geom_types,
+def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
          interpret=False, early_exit=False):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
     pad_rows = n_tiles * SUB
+    n_tris = 0 if tri is None else tri.shape[0]
 
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
-        depth=trace_depth, n_pixels=n_pixels, early_exit=early_exit,
+        depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
+        early_exit=early_exit,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
+    ]
+    if n_tris:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # tri
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -582,6 +695,9 @@ def _run(cam, mats, gmat, it, resolution, trace_depth, geom_types,
                          memory_space=pltpu.VMEM),
         ),
     )
+    args = [it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat]
+    if n_tris:
+        args.append(tri)
     rad_r, rad_g, rad_b, counts = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -592,7 +708,7 @@ def _run(cam, mats, gmat, it, resolution, trace_depth, geom_types,
             jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat)
+    )(*args)
 
     rad = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
@@ -603,9 +719,9 @@ def _run(cam, mats, gmat, it, resolution, trace_depth, geom_types,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
 def _iteration_jit(scene, it, interpret, early_exit):
-    cam, mats, gmat = _pack_scene(scene)
+    cam, mats, gmat, tri = _pack_scene(scene)
     return _run(
-        cam, mats, gmat, jnp.asarray(it, jnp.int32),
+        cam, mats, gmat, tri, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit,
     )
@@ -613,14 +729,11 @@ def _iteration_jit(scene, it, interpret, early_exit):
 
 def pathtrace_iteration_pallas(scene, it, interpret=False, early_exit=False):
     """Drop-in Pallas replacement for render.integrator.pathtrace_iteration
-    (mask-mode semantics, primitives only — scenes with triangle meshes
-    fall back to the jnp path).  Fully jitted, including scene packing —
-    eager packing ops cost a host round-trip each on the TPU tunnel.
+    (mask-mode semantics), spheres/cubes AND triangle meshes — the
+    triangle table lives in VMEM and folds per ray tile.  Fully jitted,
+    including scene packing — eager packing ops cost a host round-trip
+    each on the TPU tunnel.
     """
-    if scene.mesh.count:
-        from ...render.integrator import pathtrace_iteration
-
-        return pathtrace_iteration(scene, it)
     return _iteration_jit(scene, it, interpret, early_exit)
 
 
@@ -631,13 +744,13 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     """``n_iters`` megakernel iterations fused into one dispatch
     (lax.scan over the iteration index, accumulating on-device).
     Returns (accumulated radiance (P,3), counts (n_iters, depth))."""
-    cam, mats, gmat = _pack_scene(scene)
+    cam, mats, gmat, tri = _pack_scene(scene)
     res = tuple(scene.resolution)
     depth = int(scene.trace_depth)
     gtypes = tuple(scene.geoms.type)
 
     def body(accum, it):
-        rad, counts = _run(cam, mats, gmat, it, res, depth, gtypes,
+        rad, counts = _run(cam, mats, gmat, tri, it, res, depth, gtypes,
                            interpret, early_exit)
         return accum + rad, counts
 

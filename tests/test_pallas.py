@@ -51,7 +51,7 @@ def test_nonsquare_and_padding(cornell_scene):
     assert (d > 1e-3).mean() < 0.01
 
 
-def test_mesh_scene_falls_back(tmp_path, cornell_scene):
+def test_mesh_scene_matches_jnp(tmp_path, cornell_scene):
     import textwrap
 
     obj = tmp_path / "t.obj"
@@ -73,4 +73,5 @@ def test_mesh_scene_falls_back(tmp_path, cornell_scene):
     scene = dataclasses.replace(scene, resolution=(16, 16), trace_depth=2)
     rad, counts = pathtrace_iteration_pallas(scene, 1, interpret=True)
     rad_j, _ = pt.pathtrace_iteration(scene, 1)
-    assert np.array_equal(np.asarray(rad), np.asarray(rad_j))
+    d = np.abs(np.asarray(rad) - np.asarray(rad_j)).max(axis=-1)
+    assert (d > 1e-3).mean() < 0.01
