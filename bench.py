@@ -23,8 +23,8 @@ import numpy as np
 
 
 def main():
-    spp = int(os.environ.get("PT_BENCH_SPP", "400"))
-    chunk = int(os.environ.get("PT_BENCH_CHUNK", "100"))
+    spp = int(os.environ.get("PT_BENCH_SPP", "4000"))
+    chunk = int(os.environ.get("PT_BENCH_CHUNK", "500"))
     scene_path = os.environ.get(
         "PT_BENCH_SCENE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

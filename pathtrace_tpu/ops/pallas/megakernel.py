@@ -106,8 +106,42 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _imperfect_specular(m_ex, mrx, mry, mrz, u_s1, u_s2):
+    """GPU Gems 3 ch.20 power-cosine sample about the mirror direction
+    (README.md:171-185), on (SUB,128) planes."""
+    s3 = jnp.float32(SQRT_OF_ONE_THIRD)
+    n1 = 1.0 / (m_ex + 1.0)
+    cos_t = jnp.power(jnp.maximum(u_s1, 1e-12), n1)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = u_s2 * jnp.float32(TWO_PI)
+    use_xm = jnp.abs(mrx) < s3
+    use_ym = (~use_xm) & (jnp.abs(mry) < s3)
+    nmx = jnp.where(use_xm, 1.0, 0.0)
+    nmy = jnp.where(use_ym, 1.0, 0.0)
+    nmz = jnp.where(use_xm | use_ym, 0.0, 1.0)
+    q1x = mry * nmz - mrz * nmy
+    q1y = mrz * nmx - mrx * nmz
+    q1z = mrx * nmy - mry * nmx
+    q1x, q1y, q1z = _normalize3(q1x, q1y, q1z)
+    q2x = mry * q1z - mrz * q1y
+    q2y = mrz * q1x - mrx * q1z
+    q2z = mrx * q1y - mry * q1x
+    q2x, q2y, q2z = _normalize3(q2x, q2y, q2z)
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    imx = cos_t * mrx + cp * sin_t * q1x + sp * sin_t * q2x
+    imy = cos_t * mry + cp * sin_t * q1y + sp * sin_t * q2y
+    imz = cos_t * mrz + cp * sin_t * q1z + sp * sin_t * q2z
+    use_imp = m_ex > 0.0
+    return (
+        jnp.where(use_imp, imx, mrx),
+        jnp.where(use_imp, imy, mry),
+        jnp.where(use_imp, imz, mrz),
+    )
+
+
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
-            width, height, depth, n_pixels, n_tris=0, early_exit=False):
+            width, height, depth, n_pixels, n_tris=0, n_spp=1,
+            features=(True, True, True), early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -125,7 +159,13 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     rad_*_ref: (SUB,128) VMEM f32 outputs (radiance planes).
     counts_ref: (8, 128) VMEM i32 output; row 0, col d = live lanes
       entering bounce d (padded block to satisfy TPU tiling).
+
+    ``features`` = (has_glass, has_imperfect, has_dof): static scene
+    facts; sections whose materials/camera can never trigger are not
+    emitted at all (a scene-specialized kernel — the TPU version of
+    shader specialization).
     """
+    has_glass, has_imperfect, has_dof = features
     if n_tris:
         tri_ref, rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     else:
@@ -136,7 +176,6 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     pixel = (tile * SUB + row) * LANES + lane          # global flat id
     valid = pixel < n_pixels
     pix_u = _u32(pixel)
-    it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
 
     c = lambda k: cam_ref[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -149,50 +188,66 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     # ---- raygen (AA jitter + thin-lens DoF), matching integrator.raygen
     fx = (pixel % width).astype(jnp.float32)
     fy = (pixel // width).astype(jnp.float32)
-    ujx = _uniform(it_u, pix_u, 0, Draw.AA_X)
-    ujy = _uniform(it_u, pix_u, 0, Draw.AA_Y)
-    sx = (fx + ujx) * jnp.float32(2.0 / width) - 1.0
-    sy = (fy + ujy) * jnp.float32(2.0 / height) - 1.0
-    dx = v_x - r_x * (tan_x * sx) - u_x * (tan_y * sy)
-    dy = v_y - r_y * (tan_x * sx) - u_y * (tan_y * sy)
-    dz = v_z - r_z * (tan_x * sx) - u_z * (tan_y * sy)
-    dx, dy, dz = _normalize3(dx, dy, dz)
-    ox = jnp.full((SUB, LANES), pos_x, jnp.float32)
-    oy = jnp.full((SUB, LANES), pos_y, jnp.float32)
-    oz = jnp.full((SUB, LANES), pos_z, jnp.float32)
 
-    u1 = _uniform(it_u, pix_u, 0, Draw.DOF_U)
-    u2 = _uniform(it_u, pix_u, 0, Draw.DOF_V)
-    r_lens = aperture * jnp.sqrt(u1)
-    theta = u2 * jnp.float32(TWO_PI)
-    off_x = r_x * (r_lens * jnp.cos(theta)) + u_x * (r_lens * jnp.sin(theta))
-    off_y = r_y * (r_lens * jnp.cos(theta)) + u_y * (r_lens * jnp.sin(theta))
-    off_z = r_z * (r_lens * jnp.cos(theta)) + u_z * (r_lens * jnp.sin(theta))
-    cos_v = dx * v_x + dy * v_y + dz * v_z
-    ft = focal / jnp.maximum(cos_v, 1e-6)
-    pfx, pfy, pfz = ox + dx * ft, oy + dy * ft, oz + dz * ft
-    ndx, ndy, ndz = _normalize3(pfx - (ox + off_x), pfy - (oy + off_y),
-                                pfz - (oz + off_z))
-    use_dof = aperture > 0.0
-    ox = jnp.where(use_dof, ox + off_x, ox)
-    oy = jnp.where(use_dof, oy + off_y, oy)
-    oz = jnp.where(use_dof, oz + off_z, oz)
-    dx = jnp.where(use_dof, ndx, dx)
-    dy = jnp.where(use_dof, ndy, dy)
-    dz = jnp.where(use_dof, ndz, dz)
+    def raygen_state(it_u):
+        ujx = _uniform(it_u, pix_u, 0, Draw.AA_X)
+        ujy = _uniform(it_u, pix_u, 0, Draw.AA_Y)
+        sx = (fx + ujx) * jnp.float32(2.0 / width) - 1.0
+        sy = (fy + ujy) * jnp.float32(2.0 / height) - 1.0
+        dx = v_x - r_x * (tan_x * sx) - u_x * (tan_y * sy)
+        dy = v_y - r_y * (tan_x * sx) - u_y * (tan_y * sy)
+        dz = v_z - r_z * (tan_x * sx) - u_z * (tan_y * sy)
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox = jnp.full((SUB, LANES), pos_x, jnp.float32)
+        oy = jnp.full((SUB, LANES), pos_y, jnp.float32)
+        oz = jnp.full((SUB, LANES), pos_z, jnp.float32)
 
-    state = dict(
-        ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-        tr=jnp.ones((SUB, LANES), jnp.float32),
-        tg=jnp.ones((SUB, LANES), jnp.float32),
-        tb=jnp.ones((SUB, LANES), jnp.float32),
-        rr=jnp.zeros((SUB, LANES), jnp.float32),
-        rg=jnp.zeros((SUB, LANES), jnp.float32),
-        rb=jnp.zeros((SUB, LANES), jnp.float32),
-        # f32 mask, not bool: Mosaic can't round-trip i1 vectors
-        # through lax.cond-carried state
-        live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
-    )
+        if not has_dof:
+            return dict(
+                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                tr=jnp.ones((SUB, LANES), jnp.float32),
+                tg=jnp.ones((SUB, LANES), jnp.float32),
+                tb=jnp.ones((SUB, LANES), jnp.float32),
+                rr=jnp.zeros((SUB, LANES), jnp.float32),
+                rg=jnp.zeros((SUB, LANES), jnp.float32),
+                rb=jnp.zeros((SUB, LANES), jnp.float32),
+                live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
+            )
+        u1 = _uniform(it_u, pix_u, 0, Draw.DOF_U)
+        u2 = _uniform(it_u, pix_u, 0, Draw.DOF_V)
+        r_lens = aperture * jnp.sqrt(u1)
+        theta = u2 * jnp.float32(TWO_PI)
+        off_x = r_x * (r_lens * jnp.cos(theta)) \
+            + u_x * (r_lens * jnp.sin(theta))
+        off_y = r_y * (r_lens * jnp.cos(theta)) \
+            + u_y * (r_lens * jnp.sin(theta))
+        off_z = r_z * (r_lens * jnp.cos(theta)) \
+            + u_z * (r_lens * jnp.sin(theta))
+        cos_v = dx * v_x + dy * v_y + dz * v_z
+        ft = focal / jnp.maximum(cos_v, 1e-6)
+        pfx, pfy, pfz = ox + dx * ft, oy + dy * ft, oz + dz * ft
+        ndx, ndy, ndz = _normalize3(pfx - (ox + off_x), pfy - (oy + off_y),
+                                    pfz - (oz + off_z))
+        use_dof = aperture > 0.0
+        ox = jnp.where(use_dof, ox + off_x, ox)
+        oy = jnp.where(use_dof, oy + off_y, oy)
+        oz = jnp.where(use_dof, oz + off_z, oz)
+        dx = jnp.where(use_dof, ndx, dx)
+        dy = jnp.where(use_dof, ndy, dy)
+        dz = jnp.where(use_dof, ndz, dz)
+
+        return dict(
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+            tr=jnp.ones((SUB, LANES), jnp.float32),
+            tg=jnp.ones((SUB, LANES), jnp.float32),
+            tb=jnp.ones((SUB, LANES), jnp.float32),
+            rr=jnp.zeros((SUB, LANES), jnp.float32),
+            rg=jnp.zeros((SUB, LANES), jnp.float32),
+            rb=jnp.zeros((SUB, LANES), jnp.float32),
+            # f32 mask, not bool: Mosaic can't round-trip i1 vectors
+            # through lax.cond-carried state
+            live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
+        )
 
     def intersect(st):
         """Nearest hit over unrolled geoms. Returns plane dict."""
@@ -414,7 +469,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
 
-    def shade(st, isect, d):
+    def shade(st, isect, d, it_u):
         """Terminate-or-scatter, matching ops/bsdf.sample_bsdf."""
         live = st["live"] > 0.0
         hit = isect["hit"]
@@ -435,9 +490,11 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         u_lobe = _uniform(it_u, pix_u, dep, Draw.LOBE)
         u_d1 = _uniform(it_u, pix_u, dep, Draw.DIFF_U1)
         u_d2 = _uniform(it_u, pix_u, dep, Draw.DIFF_U2)
-        u_fr = _uniform(it_u, pix_u, dep, Draw.FRESNEL)
-        u_s1 = _uniform(it_u, pix_u, dep, Draw.SPEC_U1)
-        u_s2 = _uniform(it_u, pix_u, dep, Draw.SPEC_U2)
+        if has_glass:
+            u_fr = _uniform(it_u, pix_u, dep, Draw.FRESNEL)
+        if has_imperfect:
+            u_s1 = _uniform(it_u, pix_u, dep, Draw.SPEC_U1)
+            u_s2 = _uniform(it_u, pix_u, dep, Draw.SPEC_U2)
 
         nx, ny, nz = isect["nx"], isect["ny"], isect["nz"]
         dx, dy, dz = st["dx"], st["dy"], st["dz"]
@@ -470,57 +527,41 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         mrx = dx - 2.0 * ndoti * nx
         mry = dy - 2.0 * ndoti * ny
         mrz = dz - 2.0 * ndoti * nz
-        n1 = 1.0 / (isect["m_ex"] + 1.0)
-        cos_t = jnp.power(jnp.maximum(u_s1, 1e-12), n1)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        phi = u_s2 * jnp.float32(TWO_PI)
-        # frame about the mirror direction
-        use_xm = jnp.abs(mrx) < s3
-        use_ym = (~use_xm) & (jnp.abs(mry) < s3)
-        nmx = jnp.where(use_xm, 1.0, 0.0)
-        nmy = jnp.where(use_ym, 1.0, 0.0)
-        nmz = jnp.where(use_xm | use_ym, 0.0, 1.0)
-        q1x = mry * nmz - mrz * nmy
-        q1y = mrz * nmx - mrx * nmz
-        q1z = mrx * nmy - mry * nmx
-        q1x, q1y, q1z = _normalize3(q1x, q1y, q1z)
-        q2x = mry * q1z - mrz * q1y
-        q2y = mrz * q1x - mrx * q1z
-        q2z = mrx * q1y - mry * q1x
-        q2x, q2y, q2z = _normalize3(q2x, q2y, q2z)
-        cp, sp = jnp.cos(phi), jnp.sin(phi)
-        imx = cos_t * mrx + cp * sin_t * q1x + sp * sin_t * q2x
-        imy = cos_t * mry + cp * sin_t * q1y + sp * sin_t * q2y
-        imz = cos_t * mrz + cp * sin_t * q1z + sp * sin_t * q2z
-        use_imp = isect["m_ex"] > 0.0
-        spx = jnp.where(use_imp, imx, mrx)
-        spy = jnp.where(use_imp, imy, mry)
-        spz = jnp.where(use_imp, imz, mrz)
+        # power-cosine sampling split out so diffuse+mirror-only
+        # scenes never pay its pow/sin/cos transcendentals
+        if has_imperfect:
+            spx, spy, spz = _imperfect_specular(
+                isect["m_ex"], mrx, mry, mrz, u_s1, u_s2
+            )
+        else:
+            spx, spy, spz = mrx, mry, mrz
 
-        # --- Fresnel glass (Schlick choice + Snell refraction)
-        cos_i = jnp.clip(-ndoti, 0.0, 1.0)
-        ior = isect["m_ior"]
-        r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-        mm = jnp.maximum(1.0 - cos_i, 0.0)
-        refl_p = r0 + (1.0 - r0) * mm * mm * mm * mm * mm
-        eta = jnp.where(
-            isect["outside"] > 0.0, 1.0 / jnp.maximum(ior, 1e-6), ior
-        )
-        cosi2 = nx * dx + ny * dy + nz * dz  # = -cos_i (pre-clip)
-        kk = 1.0 - eta * eta * (1.0 - cosi2 * cosi2)
-        k_ok = kk >= 0.0
-        sqk = jnp.sqrt(jnp.where(k_ok, kk, 1.0))
-        rfx = eta * dx - (eta * cosi2 + sqk) * nx
-        rfy = eta * dy - (eta * cosi2 + sqk) * ny
-        rfz = eta * dz - (eta * cosi2 + sqk) * nz
-        tir = ~k_ok
-        choose_refl = (u_fr < refl_p) | tir
-        fx = jnp.where(choose_refl, mrx, rfx)
-        fy = jnp.where(choose_refl, mry, rfy)
-        fz = jnp.where(choose_refl, mrz, rfz)
-        ftr = jnp.where(choose_refl, isect["ms_r"], isect["mc_r"])
-        ftg = jnp.where(choose_refl, isect["ms_g"], isect["mc_g"])
-        ftb = jnp.where(choose_refl, isect["ms_b"], isect["mc_b"])
+        # --- Fresnel glass (Schlick choice + Snell refraction) —
+        # emitted only when some material is refractive
+        if has_glass:
+            cos_i = jnp.clip(-ndoti, 0.0, 1.0)
+            ior = isect["m_ior"]
+            r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            mm = jnp.maximum(1.0 - cos_i, 0.0)
+            refl_p = r0 + (1.0 - r0) * mm * mm * mm * mm * mm
+            eta = jnp.where(
+                isect["outside"] > 0.0, 1.0 / jnp.maximum(ior, 1e-6), ior
+            )
+            cosi2 = nx * dx + ny * dy + nz * dz  # = -cos_i (pre-clip)
+            kk = 1.0 - eta * eta * (1.0 - cosi2 * cosi2)
+            k_ok = kk >= 0.0
+            sqk = jnp.sqrt(jnp.where(k_ok, kk, 1.0))
+            rfx = eta * dx - (eta * cosi2 + sqk) * nx
+            rfy = eta * dy - (eta * cosi2 + sqk) * ny
+            rfz = eta * dz - (eta * cosi2 + sqk) * nz
+            tir = ~k_ok
+            choose_refl = (u_fr < refl_p) | tir
+            fx = jnp.where(choose_refl, mrx, rfx)
+            fy = jnp.where(choose_refl, mry, rfy)
+            fz = jnp.where(choose_refl, mrz, rfz)
+            ftr = jnp.where(choose_refl, isect["ms_r"], isect["mc_r"])
+            ftg = jnp.where(choose_refl, isect["ms_g"], isect["mc_g"])
+            ftb = jnp.where(choose_refl, isect["ms_b"], isect["mc_b"])
 
         # --- spec/diffuse probability split
         p_spec = jnp.clip(isect["m_refl"], 0.0, 1.0)
@@ -535,13 +576,17 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         sdg = jnp.where(take_spec, isect["ms_g"], isect["mc_g"]) / p_safe
         sdb = jnp.where(take_spec, isect["ms_b"], isect["mc_b"]) / p_safe
 
-        is_glass = isect["m_refr"] > 0.0
-        ndirx = jnp.where(is_glass, fx, sdx)
-        ndiry = jnp.where(is_glass, fy, sdy)
-        ndirz = jnp.where(is_glass, fz, sdz)
-        thr_r = jnp.where(is_glass, ftr, sdr)
-        thr_g = jnp.where(is_glass, ftg, sdg)
-        thr_b = jnp.where(is_glass, ftb, sdb)
+        if has_glass:
+            is_glass = isect["m_refr"] > 0.0
+            ndirx = jnp.where(is_glass, fx, sdx)
+            ndiry = jnp.where(is_glass, fy, sdy)
+            ndirz = jnp.where(is_glass, fz, sdz)
+            thr_r = jnp.where(is_glass, ftr, sdr)
+            thr_g = jnp.where(is_glass, ftg, sdg)
+            thr_b = jnp.where(is_glass, ftb, sdb)
+        else:
+            ndirx, ndiry, ndirz = sdx, sdy, sdz
+            thr_r, thr_g, thr_b = sdr, sdg, sdb
 
         cont = live & hit & ~emissive
         return dict(
@@ -563,35 +608,52 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     # size, and the unrolled 8x7 intersect+shade body took minutes).
     # counts are accumulated as a one-hot plane (scalar VMEM stores are
     # not supported by Mosaic): row 0, col d holds bounce d's live count
-    counts_acc = jnp.zeros((8, LANES), jnp.int32)
     crow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
-    def depth_body(d, carry):
-        st, counts_acc = carry
-        n_live = jnp.sum(st["live"]).astype(jnp.int32)
-        counts_acc = counts_acc + jnp.where(
-            (crow == 0) & (ccol == d), n_live, 0
+    def one_sample(sidx, acc):
+        """Full trace of one sample per pixel, accumulating in VMEM —
+        the in-kernel spp loop amortizes the radiance writeback across
+        samples (HBM traffic per ray per sample: zero)."""
+        acc_r, acc_g, acc_b, counts_acc = acc
+        it_u = _u32(
+            jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
         )
+        state = raygen_state(it_u)
 
-        def do_bounce(st):
-            isect = intersect(st)
-            return shade(st, isect, d)
+        def depth_body(d, carry):
+            st, counts_acc = carry
+            n_live = jnp.sum(st["live"]).astype(jnp.int32)
+            counts_acc = counts_acc + jnp.where(
+                (crow == 0) & (ccol == d), n_live, 0
+            )
 
-        if early_exit:
-            st = jax.lax.cond(n_live > 0, do_bounce, lambda q: q, st)
-        else:
-            st = do_bounce(st)
-        return st, counts_acc
+            def do_bounce(st):
+                isect = intersect(st)
+                return shade(st, isect, d, it_u)
 
-    state, counts_acc = jax.lax.fori_loop(
-        0, depth, depth_body, (state, counts_acc)
+            if early_exit:
+                st = jax.lax.cond(n_live > 0, do_bounce, lambda q: q, st)
+            else:
+                st = do_bounce(st)
+            return st, counts_acc
+
+        state, counts_acc = jax.lax.fori_loop(
+            0, depth, depth_body, (state, counts_acc)
+        )
+        return (acc_r + state["rr"], acc_g + state["rg"],
+                acc_b + state["rb"], counts_acc)
+
+    zeros = jnp.zeros((SUB, LANES), jnp.float32)
+    acc_r, acc_g, acc_b, counts_acc = jax.lax.fori_loop(
+        0, n_spp, one_sample,
+        (zeros, zeros, zeros, jnp.zeros((8, LANES), jnp.int32)),
     )
 
     counts_ref[:, :] = counts_acc
-    rad_r_ref[:, :] = state["rr"]
-    rad_g_ref[:, :] = state["rg"]
-    rad_b_ref[:, :] = state["rb"]
+    rad_r_ref[:, :] = acc_r
+    rad_g_ref[:, :] = acc_g
+    rad_b_ref[:, :] = acc_b
 
 
 # ----------------------------------------------------------------------------
@@ -659,9 +721,11 @@ def _pack_scene(scene):
 
 @functools.partial(jax.jit, static_argnames=("resolution", "trace_depth",
                                              "geom_types", "interpret",
-                                             "early_exit"))
+                                             "early_exit", "n_spp",
+                                             "features"))
 def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
-         interpret=False, early_exit=False):
+         interpret=False, early_exit=False, n_spp=1,
+         features=(True, True, True)):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -671,7 +735,7 @@ def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
-        early_exit=early_exit,
+        n_spp=n_spp, features=features, early_exit=early_exit,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
@@ -717,13 +781,27 @@ def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
     return rad, jnp.sum(counts, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
-def _iteration_jit(scene, it, interpret, early_exit):
+def _scene_features(scene):
+    """(has_glass, has_imperfect, has_dof): static scene facts used to
+    specialize the kernel.  Requires concrete (non-traced) leaves —
+    true for scenes from load_scene; the jnp integrator remains the
+    path for traced/differentiated scenes."""
+    m = scene.materials
+    return (
+        bool(np.any(np.asarray(m.has_refractive) > 0)),
+        bool(np.any(np.asarray(m.spec_exponent) > 0)),
+        bool(np.asarray(scene.camera.aperture) > 0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "early_exit",
+                                             "features"))
+def _iteration_jit(scene, it, interpret, early_exit, features):
     cam, mats, gmat, tri = _pack_scene(scene)
     return _run(
         cam, mats, gmat, tri, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
-        tuple(scene.geoms.type), interpret, early_exit,
+        tuple(scene.geoms.type), interpret, early_exit, 1, features,
     )
 
 
@@ -734,29 +812,34 @@ def pathtrace_iteration_pallas(scene, it, interpret=False, early_exit=False):
     including scene packing — eager packing ops cost a host round-trip
     each on the TPU tunnel.
     """
-    return _iteration_jit(scene, it, interpret, early_exit)
+    return _iteration_jit(
+        scene, it, interpret, early_exit, _scene_features(scene)
+    )
+
+
+def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
+                           early_exit=False):
+    """``n_iters`` samples/pixel in ONE kernel launch: the spp loop runs
+    *inside* the megakernel, so per-sample radiance never touches HBM —
+    one accumulated writeback per call.  Returns
+    (accumulated radiance (P,3), counts (depth,) summed over samples).
+    Not itself jitted: scene feature flags are derived eagerly from the
+    concrete scene, then everything runs under _batch_jit.
+    """
+    return _batch_jit(
+        scene, it0, n_iters, interpret, early_exit,
+        _scene_features(scene),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
-                                             "early_exit"))
-def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
-                           early_exit=False):
-    """``n_iters`` megakernel iterations fused into one dispatch
-    (lax.scan over the iteration index, accumulating on-device).
-    Returns (accumulated radiance (P,3), counts (n_iters, depth))."""
+                                             "early_exit", "features"))
+def _batch_jit(scene, it0, n_iters, interpret, early_exit, features):
     cam, mats, gmat, tri = _pack_scene(scene)
-    res = tuple(scene.resolution)
-    depth = int(scene.trace_depth)
-    gtypes = tuple(scene.geoms.type)
-
-    def body(accum, it):
-        rad, counts = _run(cam, mats, gmat, tri, it, res, depth, gtypes,
-                           interpret, early_exit)
-        return accum + rad, counts
-
-    its = jnp.asarray(it0, jnp.int32) + jnp.arange(n_iters, dtype=jnp.int32)
-    n = res[0] * res[1]
-    accum, counts = jax.lax.scan(
-        body, jnp.zeros((n, 3), jnp.float32), its
+    rad, counts = _run(
+        cam, mats, gmat, tri, jnp.asarray(it0, jnp.int32),
+        tuple(scene.resolution), int(scene.trace_depth),
+        tuple(scene.geoms.type), interpret, early_exit, n_iters,
+        features,
     )
-    return accum, counts
+    return rad, counts

@@ -53,13 +53,15 @@ def time_fn(fn, *args, iters: int = 20, warmup: int = 2, **kwargs):
         jax.block_until_ready(out)
 
     times = []
-    acc = jnp.zeros((), jnp.float32)
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
         first = out[0] if isinstance(out, (tuple, list)) else out
-        acc = acc + jnp.sum(first).astype(jnp.float32)
-        acc.block_until_ready()
+        # float() forces a device->host transfer of the reduced scalar.
+        # block_until_ready() is NOT sufficient on the axon TPU tunnel
+        # (it can return before device execution completes); only a
+        # value transfer is a true sync.
+        float(jnp.sum(first))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), out
 
