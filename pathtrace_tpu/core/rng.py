@@ -76,6 +76,7 @@ class Draw:
     AA_Y = 1          # antialias jitter in y (raygen)
     DOF_U = 2         # depth-of-field aperture sample u (raygen)
     DOF_V = 3         # depth-of-field aperture sample v (raygen)
+    TIME = 4          # shutter-time jitter (raygen; motion blur)
     LOBE = 0          # BSDF lobe selection (bounce)
     DIFF_U1 = 1       # cosine-weighted hemisphere u1
     DIFF_U2 = 2       # cosine-weighted hemisphere u2

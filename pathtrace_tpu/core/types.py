@@ -79,6 +79,8 @@ class Geoms:
     translation: Any  # (G, 3)
     rotation: Any     # (G, 3) degrees (Euler XYZ, applied T@Rx@Ry@Rz@S)
     scale: Any        # (G, 3)
+    velocity: Any = None  # (G, 3) world units per shutter interval
+                          # (MOTION extension -> motion blur); None/zeros = static
 
     @property
     def count(self):

@@ -66,7 +66,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.pt_scene_fill_materials.argtypes = [c.c_void_p] + [f32p] * 7
-    lib.pt_scene_fill_geoms.argtypes = [c.c_void_p, i32p, i32p] + [f32p] * 3
+    lib.pt_scene_fill_geoms.argtypes = [c.c_void_p, i32p, i32p] + [f32p] * 4
     lib.pt_scene_fill_camera.argtypes = [
         c.c_void_p, i32p, f32p, i32p, i32p, f32p, f32p, f32p, f32p, f32p
     ]
@@ -162,9 +162,10 @@ def parse_scene_native(path: Optional[str] = None,
         gtr = np.zeros((g, 3), np.float32)
         gro = np.zeros((g, 3), np.float32)
         gsc = np.zeros((g, 3), np.float32)
+        gvel = np.zeros((g, 3), np.float32)
         lib.pt_scene_fill_geoms(
             h, gtype, gmat, gtr.reshape(-1), gro.reshape(-1),
-            gsc.reshape(-1),
+            gsc.reshape(-1), gvel.reshape(-1),
         )
 
         res = np.zeros((2,), np.int32)
@@ -214,6 +215,7 @@ def parse_scene_native(path: Optional[str] = None,
             geoms=T.Geoms(
                 type=tuple(int(t) for t in gtype), material_id=gmat,
                 translation=gtr, rotation=gro, scale=gsc,
+                velocity=gvel if np.any(gvel) else None,
             ),
             mesh=mesh,
             camera=T.Camera(

@@ -37,6 +37,7 @@ struct Geom {
   float translation[3] = {0, 0, 0};
   float rotation[3] = {0, 0, 0};
   float scale[3] = {1, 1, 1};
+  float velocity[3] = {0, 0, 0};  // MOTION extension (motion blur)
   std::string mesh_path;
 };
 
@@ -179,6 +180,9 @@ ParsedScene* parse_text(const std::string& text) {
         } else if (t[0] == "SCALE") {
           g.scale[0] = tof(t[1]); g.scale[1] = tof(t[2]);
           g.scale[2] = tof(t[3]);
+        } else if (t[0] == "MOTION") {
+          g.velocity[0] = tof(t[1]); g.velocity[1] = tof(t[2]);
+          g.velocity[2] = tof(t[3]);
         }
       }
       sc->geoms.push_back(g);
@@ -294,7 +298,8 @@ void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
 }
 
 void pt_scene_fill_geoms(void* h, int32_t* type, int32_t* material_id,
-                         float* translation, float* rotation, float* scale) {
+                         float* translation, float* rotation, float* scale,
+                         float* velocity) {
   auto* sc = static_cast<ParsedScene*>(h);
   for (size_t i = 0; i < sc->geoms.size(); ++i) {
     const Geom& g = sc->geoms[i];
@@ -303,6 +308,7 @@ void pt_scene_fill_geoms(void* h, int32_t* type, int32_t* material_id,
     std::memcpy(translation + 3 * i, g.translation, 3 * sizeof(float));
     std::memcpy(rotation + 3 * i, g.rotation, 3 * sizeof(float));
     std::memcpy(scale + 3 * i, g.scale, 3 * sizeof(float));
+    std::memcpy(velocity + 3 * i, g.velocity, 3 * sizeof(float));
   }
 }
 

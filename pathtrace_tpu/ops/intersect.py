@@ -197,7 +197,8 @@ def intersect_triangles(origins, dirs, tri_verts, tri_geom, fwd, inv, inv_t,
 
 
 def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
-                    tri_verts=None, tri_geom=None, xp=jnp):
+                    tri_verts=None, tri_geom=None, velocity=None,
+                    time=None, xp=jnp):
     """Nearest hit over all geoms (and mesh triangles if present).
 
     Returns a dict with per-ray fields: ``dist`` (N,), ``hit`` (N,) bool,
@@ -241,18 +242,27 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
         # megaray wavefronts.
         if types[g] == T.MESH:
             continue  # mesh placeholder geoms hit via their triangles
+        # motion blur: a geom translating by velocity*t is intersected
+        # by shifting the ray origin back in time, then shifting the
+        # hit point forward (exact for translation motion; the MOTION
+        # scene extension, reference README.md:109-110)
+        o_g = origins
+        if velocity is not None:
+            o_g = origins - time[:, None] * velocity[g][None]
         if types[g] == T.SPHERE:
             d, p, nr, o = _one_sphere(
-                origins, dirs, fwd[g], inv[g], inv_t[g], xp=xp
+                o_g, dirs, fwd[g], inv[g], inv_t[g], xp=xp
             )
         else:
-            d, p, nr, o = _one_box(origins, dirs, fwd[g], inv[g], xp=xp)
+            d, p, nr, o = _one_box(o_g, dirs, fwd[g], inv[g], xp=xp)
+        if velocity is not None:
+            p = p + time[:, None] * velocity[g][None]
         best = fold(best, d, p, nr, o, xp.full((n,), g, dtype=xp.int32))
 
     if tri_verts is not None and tri_verts.shape[0] > 0:
         best = _fold_triangles(
             best, fold, origins, dirs, tri_verts, tri_geom, fwd, inv,
-            inv_t, xp=xp,
+            inv_t, velocity=velocity, time=time, xp=xp,
         )
 
     best["hit"] = best["dist"] < NO_HIT
@@ -343,7 +353,7 @@ def _one_sphere(origins, dirs, fwd_g, inv_g, inv_t_g, xp=jnp):
 
 
 def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
-                    fwd, inv, inv_t, xp=jnp):
+                    fwd, inv, inv_t, velocity=None, time=None, xp=jnp):
     """Fold mesh triangles into the running-min via a `lax.scan` over
     the triangle axis (python loop under numpy).
 
@@ -357,29 +367,34 @@ def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
     inv_g = inv[tri_geom]
     inv_t_g = inv_t[tri_geom]
     gidx = xp.asarray(tri_geom, dtype=xp.int32)
+    vel_g = velocity[tri_geom] if velocity is not None else None
 
     def body(best, tri):
-        v, fg, ig, itg, gi = tri
+        if velocity is not None:
+            v, fg, ig, itg, gi, vel = tri
+            o_t = origins - time[:, None] * vel[None]
+        else:
+            v, fg, ig, itg, gi = tri
+            o_t = origins
         d, p, nr, o = _intersect_one_triangle(
-            origins, dirs, v, fg, ig, itg, xp=xp
+            o_t, dirs, v, fg, ig, itg, xp=xp
         )
+        if velocity is not None:
+            p = p + time[:, None] * vel[None]
         n = origins.shape[0]
         return fold(best, d, p, nr, o,
                     xp.full((n,), gi, dtype=xp.int32)), None
 
+    xs = (tri_verts, fwd_g, inv_g, inv_t_g, gidx)
+    if velocity is not None:
+        xs = xs + (vel_g,)
     if xp is jnp:
         import jax
 
-        best, _ = jax.lax.scan(
-            lambda b, t: body(b, t), best,
-            (tri_verts, fwd_g, inv_g, inv_t_g, gidx),
-        )
+        best, _ = jax.lax.scan(lambda b, t: body(b, t), best, xs)
     else:
         for t in range(tri_verts.shape[0]):
-            best, _ = body(
-                best,
-                (tri_verts[t], fwd_g[t], inv_g[t], inv_t_g[t], gidx[t]),
-            )
+            best, _ = body(best, tuple(a[t] for a in xs))
     return best
 
 

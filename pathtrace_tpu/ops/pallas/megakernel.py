@@ -141,7 +141,7 @@ def _imperfect_specular(m_ex, mrx, mry, mrz, u_s1, u_s2):
 
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True, True, True), early_exit=False):
+            features=(True, True, True, True), early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -165,7 +165,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     emitted at all (a scene-specialized kernel — the TPU version of
     shader specialization).
     """
-    has_glass, has_imperfect, has_dof = features
+    has_glass, has_imperfect, has_dof, has_motion = features
     if n_tris:
         tri_ref, rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     else:
@@ -253,6 +253,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         """Nearest hit over unrolled geoms. Returns plane dict."""
         ox, oy, oz = st["ox"], st["oy"], st["oz"]
         dx, dy, dz = st["dx"], st["dy"], st["dz"]
+        tpl = st.get("time")
         big = jnp.float32(NO_HIT)
         best = dict(
             dist=jnp.full((SUB, LANES), big, jnp.float32),
@@ -279,14 +280,22 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             if gtype == T.MESH:
                 continue
             m = lambda k: gmat_ref[g, k]
+            # motion blur: shift the ray origin back by t * velocity
+            # (translation-only motion; ops/intersect.py)
+            if has_motion:
+                gox = ox - tpl * m(33)
+                goy = oy - tpl * m(34)
+                goz = oz - tpl * m(35)
+            else:
+                gox, goy, goz = ox, oy, oz
             # object-space ray (explicit mul-adds; see ops/intersect.py
             # on why never a matmul)
             i00, i01, i02, i03 = m(12), m(13), m(14), m(15)
             i10, i11, i12, i13 = m(16), m(17), m(18), m(19)
             i20, i21, i22, i23 = m(20), m(21), m(22), m(23)
-            rox = i00 * ox + i01 * oy + i02 * oz + i03
-            roy = i10 * ox + i11 * oy + i12 * oz + i13
-            roz = i20 * ox + i21 * oy + i22 * oz + i23
+            rox = i00 * gox + i01 * goy + i02 * goz + i03
+            roy = i10 * gox + i11 * goy + i12 * goz + i13
+            roz = i20 * gox + i21 * goy + i22 * goz + i23
             rdx = i00 * dx + i01 * dy + i02 * dz
             rdy = i10 * dx + i11 * dy + i12 * dz
             rdz = i20 * dx + i21 * dy + i22 * dz
@@ -363,7 +372,12 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             pxw = m(0) * qx + m(1) * qy + m(2) * qz + m(3)
             pyw = m(4) * qx + m(5) * qy + m(6) * qz + m(7)
             pzw = m(8) * qx + m(9) * qy + m(10) * qz + m(11)
-            ddx, ddy, ddz = ox - pxw, oy - pyw, oz - pzw
+            ddx, ddy, ddz = gox - pxw, goy - pyw, goz - pzw
+            if has_motion:
+                # hit point back to shutter time t on the moved object
+                pxw = pxw + tpl * m(33)
+                pyw = pyw + tpl * m(34)
+                pzw = pzw + tpl * m(35)
             dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
             dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
 
@@ -391,9 +405,15 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         if n_tris:
             def tri_body(t, best):
                 m = lambda k: tri_ref[t, k]
-                rox = m(0) * ox + m(1) * oy + m(2) * oz + m(3)
-                roy = m(4) * ox + m(5) * oy + m(6) * oz + m(7)
-                roz = m(8) * ox + m(9) * oy + m(10) * oz + m(11)
+                if has_motion:
+                    gox = ox - tpl * m(56)
+                    goy = oy - tpl * m(57)
+                    goz = oz - tpl * m(58)
+                else:
+                    gox, goy, goz = ox, oy, oz
+                rox = m(0) * gox + m(1) * goy + m(2) * goz + m(3)
+                roy = m(4) * gox + m(5) * goy + m(6) * goz + m(7)
+                roz = m(8) * gox + m(9) * goy + m(10) * goz + m(11)
                 rdx = m(0) * dx + m(1) * dy + m(2) * dz
                 rdy = m(4) * dx + m(5) * dy + m(6) * dz
                 rdz = m(8) * dx + m(9) * dy + m(10) * dz
@@ -426,6 +446,13 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 pxw = m(12) * qx + m(13) * qy + m(14) * qz + m(15)
                 pyw = m(16) * qx + m(17) * qy + m(18) * qz + m(19)
                 pzw = m(20) * qx + m(21) * qy + m(22) * qz + m(23)
+                if has_motion:
+                    dtx = gox - pxw
+                    dty = goy - pyw
+                    dtz = goz - pzw
+                    pxw = pxw + tpl * m(56)
+                    pyw = pyw + tpl * m(57)
+                    pzw = pzw + tpl * m(58)
                 # ray-facing object normal, then invT to world
                 nox, noy, noz = m(42), m(43), m(44)
                 face = rdx * nox + rdy * noy + rdz * noz
@@ -435,7 +462,10 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 nz0 = (m(30) * nox + m(31) * noy + m(32) * noz) * flip
                 nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
                 outside = hit & (face < 0.0)
-                ddx, ddy, ddz = ox - pxw, oy - pyw, oz - pzw
+                if has_motion:
+                    ddx, ddy, ddz = dtx, dty, dtz
+                else:
+                    ddx, ddy, ddz = ox - pxw, oy - pyw, oz - pzw
                 dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
                 dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
 
@@ -589,7 +619,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             thr_r, thr_g, thr_b = sdr, sdg, sdb
 
         cont = live & hit & ~emissive
-        return dict(
+        out = dict(
             ox=jnp.where(cont, isect["px"], st["ox"]),
             oy=jnp.where(cont, isect["py"], st["oy"]),
             oz=jnp.where(cont, isect["pz"], st["oz"]),
@@ -602,6 +632,9 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             rr=rr, rg=rg, rb=rb,
             live=jnp.where(cont, 1.0, 0.0).astype(jnp.float32),
         )
+        if "time" in st:
+            out["time"] = st["time"]  # shutter time rides with the ray
+        return out
 
     # ---- the bounce loop (fori_loop: one traced body instead of
     # ``depth`` unrolled copies — Mosaic compile time scales with code
@@ -620,6 +653,9 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
         )
         state = raygen_state(it_u)
+        if has_motion:
+            # shutter-time per camera sample (motion blur)
+            state["time"] = _uniform(it_u, pix_u, 0, Draw.TIME)
 
         def depth_body(d, carry):
             st, counts_acc = carry
@@ -688,11 +724,14 @@ def _pack_scene(scene):
     ], axis=1)  # (G,16)
 
     fwd, inv, inv_t = geom_transforms(scene.geoms)
+    vel = scene.geoms.velocity
+    if vel is None:
+        vel = jnp.zeros((fwd.shape[0], 3), jnp.float32)
     gmat = jnp.concatenate([
         fwd[:, :3, :].reshape(-1, 12),
         inv[:, :3, :].reshape(-1, 12),
         inv_t[:, :3, :3].reshape(-1, 9),
-        jnp.zeros((fwd.shape[0], 3), jnp.float32),
+        jnp.asarray(vel, jnp.float32),   # rows 33..35 (motion blur)
     ], axis=1)  # (G,36)
 
     tri = None
@@ -714,7 +753,8 @@ def _pack_scene(scene):
             inv_t[tg][:, :3, :3].reshape(-1, 9),   # 24..32
             v0, e1, e2, n_obj,                     # 33..44
             tmats,                                 # 45..55
-            jnp.zeros((t_count, 128 - 56), jnp.float32),
+            jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
+            jnp.zeros((t_count, 128 - 59), jnp.float32),
         ], axis=1)  # (T,128)
     return cam, mats, gmat, tri
 
@@ -725,7 +765,7 @@ def _pack_scene(scene):
                                              "features"))
 def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
          interpret=False, early_exit=False, n_spp=1,
-         features=(True, True, True)):
+         features=(True, True, True, True)):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -791,6 +831,7 @@ def _scene_features(scene):
         bool(np.any(np.asarray(m.has_refractive) > 0)),
         bool(np.any(np.asarray(m.spec_exponent) > 0)),
         bool(np.asarray(scene.camera.aperture) > 0),
+        scene.geoms.velocity is not None,
     )
 
 

@@ -39,6 +39,8 @@ def oracle_iteration(scene: Scene, it: int, nee: bool = False):
         pixel=pixel_ids,
         live=np.ones((n,), dtype=bool),
     )
+    if scene.geoms.velocity is not None:
+        state["time"] = rng.uniform(it_arr, pixel_ids, 0, Draw.TIME, xp=np)
     if nee:
         state["emit_ok"] = np.ones((n,), dtype=bool)
     live_counts = []

@@ -136,10 +136,12 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     following bounce for diffuse-sampled rays (no double counting).
     """
     o, d = state["origins"], state["dirs"]
+    vel = scene.geoms.velocity
     isect = intersect_scene(
         o, d, scene.geoms.type, fwd, inv, inv_t,
         tri_verts=scene.mesh.tri_verts if scene.mesh.count else None,
         tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
+        velocity=vel, time=state.get("time"),
         xp=xp,
     )
     mid = xp.asarray(scene.geoms.material_id)[isect["geom_idx"]]
@@ -178,7 +180,7 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     if nee:
         radiance = radiance + _nee_direct(
             scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
-            state["throughput"], cont, xp=xp,
+            state["throughput"], cont, time=state.get("time"), xp=xp,
         )
 
     c3 = cont[:, None]
@@ -191,13 +193,15 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
         pixel=pix,
         live=cont,
     )
+    if "time" in state:
+        out["time"] = state["time"]  # shutter time rides with the ray
     if nee:
         out["emit_ok"] = ~took_diffuse
     return out
 
 
 def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
-                throughput, eligible, xp=jnp):
+                throughput, eligible, time=None, xp=jnp):
     """Direct-light (NEE) radiance for the diffuse component at each
     live non-emissive hit.  Loops over the static light set, one area
     sample + one shadow ray per light (pathtrace_tpu.ops.lights)."""
@@ -221,6 +225,9 @@ def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
             lp, ln, area = L.sample_cube_light(
                 fwd[li], u_sel, u1, u2, xp=xp
             )
+        if scene.geoms.velocity is not None and time is not None:
+            # moving light: shift the sampled point to the ray's time
+            lp = lp + time[:, None] * scene.geoms.velocity[li][None]
         l_mid = xp.asarray(scene.geoms.material_id)[li]  # may be traced
         emission = (
             xp.asarray(scene.materials.color)[l_mid]
@@ -235,6 +242,7 @@ def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
             isect["point"], sdir, scene.geoms.type, fwd, inv, inv_t,
             tri_verts=scene.mesh.tri_verts if scene.mesh.count else None,
             tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
+            velocity=scene.geoms.velocity, time=time,
             xp=xp,
         )
         # visible iff the nearest hit is this (convex) light at ~the
@@ -290,6 +298,9 @@ def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",
         pixel=pixel_ids,
         live=jnp.ones((n,), dtype=bool),
     )
+    if scene.geoms.velocity is not None:
+        # motion blur: one shutter-time per camera sample
+        state["time"] = rng.uniform(it, pixel_ids, 0, Draw.TIME)
     if nee:
         state["emit_ok"] = jnp.ones((n,), dtype=bool)
 

@@ -16,7 +16,11 @@ Extensions (all backwards compatible):
 * object type ``mesh <path.obj>`` — the reserved keyword at
   README.md:236-237, resolved relative to the scene file;
 * camera keys ``APERTURE r`` / ``FOCAL d`` in the free block enabling
-  physically-based depth-of-field (README.md:100-101).
+  physically-based depth-of-field (README.md:100-101);
+* object key ``MOTION vx vy vz`` — translation over the shutter
+  interval, enabling motion blur by time-jittered samples (the
+  README.md:109-110 extra; the reference reserved a ``frame`` argument
+  for exactly this, src/main.cpp:102-103).
 """
 
 from __future__ import annotations
@@ -141,7 +145,7 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
             g = dict(
                 type=gtype, material_id=material_id,
                 translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0),
-                scale=(1.0, 1.0, 1.0),
+                scale=(1.0, 1.0, 1.0), velocity=(0.0, 0.0, 0.0),
             )
             while True:
                 t_line = next_line()
@@ -154,6 +158,10 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                     g["rotation"] = (float(t[1]), float(t[2]), float(t[3]))
                 elif t[0] == "SCALE":
                     g["scale"] = (float(t[1]), float(t[2]), float(t[3]))
+                elif t[0] == "MOTION":
+                    g["velocity"] = (
+                        float(t[1]), float(t[2]), float(t[3])
+                    )
             if gtype == T.MESH:
                 p = mesh_path
                 if not os.path.isabs(p):
@@ -230,6 +238,11 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         translation=np.asarray([g["translation"] for g in geoms], dtype=f32),
         rotation=np.asarray([g["rotation"] for g in geoms], dtype=f32),
         scale=np.asarray([g["scale"] for g in geoms], dtype=f32),
+        velocity=(
+            np.asarray([g["velocity"] for g in geoms], dtype=f32)
+            if any(any(v) for v in (g["velocity"] for g in geoms))
+            else None  # static scene: no motion-blur cost anywhere
+        ),
     )
     if mesh_tris:
         mesh = T.TriMesh(
