@@ -56,6 +56,9 @@ class Materials:
     has_refractive: Any  # (M,)  REFR
     ior: Any            # (M,)   REFRIOR
     emittance: Any      # (M,)   EMITTANCE; light iff > 0 (README.md:219)
+    # CHECKER extension (procedural object-space texture; 0 = off)
+    checker_scale: Any = None   # (M,)
+    checker_color: Any = None   # (M, 3) the second checker albedo
 
     @property
     def count(self):

@@ -29,6 +29,8 @@ struct Material {
   float has_refractive = 0;
   float ior = 0;
   float emittance = 0;
+  float checker_scale = 0;        // CHECKER extension (0 = off)
+  float checker_color[3] = {0, 0, 0};
 };
 
 struct Geom {
@@ -137,6 +139,17 @@ ParsedScene* parse_text(const std::string& text) {
           m.ior = tof(t[1]);
         } else if (t[0] == "EMITTANCE") {
           m.emittance = tof(t[1]);
+        }
+      }
+      // optional extension line: CHECKER scale r g b
+      if (pos < lines.size()) {
+        auto peek = tokenize(lines[pos]);
+        if (!peek.empty() && peek[0] == "CHECKER" && peek.size() >= 5) {
+          ++pos;
+          m.checker_scale = tof(peek[1]);
+          m.checker_color[0] = tof(peek[2]);
+          m.checker_color[1] = tof(peek[3]);
+          m.checker_color[2] = tof(peek[4]);
         }
       }
       sc->materials.push_back(m);
@@ -283,7 +296,8 @@ void pt_scene_counts(void* h, int32_t* n_materials, int32_t* n_geoms) {
 void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
                              float* spec_color, float* has_reflective,
                              float* has_refractive, float* ior,
-                             float* emittance) {
+                             float* emittance, float* checker_scale,
+                             float* checker_color) {
   auto* sc = static_cast<ParsedScene*>(h);
   for (size_t i = 0; i < sc->materials.size(); ++i) {
     const Material& m = sc->materials[i];
@@ -294,6 +308,9 @@ void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
     has_refractive[i] = m.has_refractive;
     ior[i] = m.ior;
     emittance[i] = m.emittance;
+    checker_scale[i] = m.checker_scale;
+    std::memcpy(checker_color + 3 * i, m.checker_color,
+                3 * sizeof(float));
   }
 }
 

@@ -141,7 +141,7 @@ def _imperfect_specular(m_ex, mrx, mry, mrz, u_s1, u_s2):
 
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True, True, True, True), early_exit=False):
+            features=(True, True, True, True, True), early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -165,7 +165,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     emitted at all (a scene-specialized kernel — the TPU version of
     shader specialization).
     """
-    has_glass, has_imperfect, has_dof, has_motion = features
+    (has_glass, has_imperfect, has_dof, has_motion,
+     has_checker) = features
     if n_tris:
         tri_ref, rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     else:
@@ -384,6 +385,22 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             better = dist < best["dist"]
             mt = lambda k: mats_ref[g, k]
             sel = lambda a, b: jnp.where(better, a, b)
+            if has_checker:
+                # object-space checker albedo (CHECKER extension);
+                # phase offset matches integrator._checker_albedo
+                cs = mt(11)
+                ph = jnp.float32(0.015625)
+                cells = (jnp.floor(qx * cs - ph) + jnp.floor(qy * cs - ph)
+                         + jnp.floor(qz * cs - ph))
+                odd = (cs > 0.0) & (cells - 2.0 * jnp.floor(cells * 0.5)
+                                    >= 1.0)
+                al_r = jnp.where(odd, mt(12), mt(0))
+                al_g = jnp.where(odd, mt(13), mt(1))
+                al_b = jnp.where(odd, mt(14), mt(2))
+            else:
+                al_r = jnp.full((SUB, LANES), mt(0), jnp.float32)
+                al_g = jnp.full((SUB, LANES), mt(1), jnp.float32)
+                al_b = jnp.full((SUB, LANES), mt(2), jnp.float32)
             best = dict(
                 dist=sel(dist, best["dist"]),
                 px=sel(pxw, best["px"]), py=sel(pyw, best["py"]),
@@ -392,8 +409,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 nz=sel(nz0, best["nz"]),
                 outside=sel(jnp.where(outside, 1.0, 0.0).astype(jnp.float32),
                             best["outside"]),
-                mc_r=sel(mt(0), best["mc_r"]), mc_g=sel(mt(1), best["mc_g"]),
-                mc_b=sel(mt(2), best["mc_b"]),
+                mc_r=sel(al_r, best["mc_r"]), mc_g=sel(al_g, best["mc_g"]),
+                mc_b=sel(al_b, best["mc_b"]),
                 ms_r=sel(mt(3), best["ms_r"]), ms_g=sel(mt(4), best["ms_g"]),
                 ms_b=sel(mt(5), best["ms_b"]),
                 m_ex=sel(mt(6), best["m_ex"]),
@@ -471,6 +488,22 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 
                 better = dist < best["dist"]
                 sel = lambda a, b: jnp.where(better, a, b)
+                if has_checker:
+                    cs = m(59)
+                    ph = jnp.float32(0.015625)
+                    cells = (jnp.floor(qx * cs - ph)
+                             + jnp.floor(qy * cs - ph)
+                             + jnp.floor(qz * cs - ph))
+                    odd = (cs > 0.0) & (
+                        cells - 2.0 * jnp.floor(cells * 0.5) >= 1.0
+                    )
+                    al_r = jnp.where(odd, m(60), m(45))
+                    al_g = jnp.where(odd, m(61), m(46))
+                    al_b = jnp.where(odd, m(62), m(47))
+                else:
+                    al_r = jnp.full((SUB, LANES), m(45), jnp.float32)
+                    al_g = jnp.full((SUB, LANES), m(46), jnp.float32)
+                    al_b = jnp.full((SUB, LANES), m(47), jnp.float32)
                 return dict(
                     dist=sel(dist, best["dist"]),
                     px=sel(pxw, best["px"]), py=sel(pyw, best["py"]),
@@ -481,9 +514,9 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                         jnp.where(outside, 1.0, 0.0).astype(jnp.float32),
                         best["outside"],
                     ),
-                    mc_r=sel(m(45), best["mc_r"]),
-                    mc_g=sel(m(46), best["mc_g"]),
-                    mc_b=sel(m(47), best["mc_b"]),
+                    mc_r=sel(al_r, best["mc_r"]),
+                    mc_g=sel(al_g, best["mc_g"]),
+                    mc_b=sel(al_b, best["mc_b"]),
                     ms_r=sel(m(48), best["ms_r"]),
                     ms_g=sel(m(49), best["ms_g"]),
                     ms_b=sel(m(50), best["ms_b"]),
@@ -715,12 +748,18 @@ def _pack_scene(scene):
 
     m = scene.materials
     mid = scene.geoms.material_id
+    chk_s = (m.checker_scale if m.checker_scale is not None
+             else jnp.zeros((m.count,), jnp.float32))
+    chk_c = (m.checker_color if m.checker_color is not None
+             else jnp.zeros((m.count, 3), jnp.float32))
     mats = jnp.concatenate([
         m.color[mid], m.spec_color[mid],
         m.spec_exponent[mid][:, None], m.has_reflective[mid][:, None],
         m.has_refractive[mid][:, None], m.ior[mid][:, None],
         m.emittance[mid][:, None],
-        jnp.zeros((mid.shape[0], 5), jnp.float32),
+        jnp.asarray(chk_s, jnp.float32)[mid][:, None],   # 11
+        jnp.asarray(chk_c, jnp.float32)[mid],            # 12..14
+        jnp.zeros((mid.shape[0], 1), jnp.float32),
     ], axis=1)  # (G,16)
 
     fwd, inv, inv_t = geom_transforms(scene.geoms)
@@ -754,7 +793,8 @@ def _pack_scene(scene):
             v0, e1, e2, n_obj,                     # 33..44
             tmats,                                 # 45..55
             jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
-            jnp.zeros((t_count, 128 - 59), jnp.float32),
+            mats[:, 11:15][tg],                    # 59..62 (checker)
+            jnp.zeros((t_count, 128 - 63), jnp.float32),
         ], axis=1)  # (T,128)
     return cam, mats, gmat, tri
 
@@ -765,7 +805,7 @@ def _pack_scene(scene):
                                              "features"))
 def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
          interpret=False, early_exit=False, n_spp=1,
-         features=(True, True, True, True)):
+         features=(True, True, True, True, True)):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -832,6 +872,7 @@ def _scene_features(scene):
         bool(np.any(np.asarray(m.spec_exponent) > 0)),
         bool(np.asarray(scene.camera.aperture) > 0),
         scene.geoms.velocity is not None,
+        scene.materials.checker_scale is not None,
     )
 
 

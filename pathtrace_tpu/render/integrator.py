@@ -146,6 +146,11 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     )
     mid = xp.asarray(scene.geoms.material_id)[isect["geom_idx"]]
     mat = _gather_material(scene.materials, mid, xp=xp)
+    if scene.materials.checker_scale is not None:
+        mat["color"] = _checker_albedo(
+            scene, inv, isect, mid, mat["color"], vel,
+            state.get("time"), xp=xp,
+        )
 
     live = state["live"]
     hit = isect["hit"]
@@ -198,6 +203,32 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     if nee:
         out["emit_ok"] = ~took_diffuse
     return out
+
+
+def _checker_albedo(scene, inv, isect, mid, color, vel, time, xp=jnp):
+    """Procedural object-space checker (CHECKER material extension, the
+    texture-mapping extra README.md:103): alternate the albedo on a 3D
+    checkerboard in the hit geom's object space — it sticks to the
+    object under instancing and motion."""
+    gi = isect["geom_idx"]
+    inv_g = xp.asarray(inv)[gi]                    # (N,4,4)
+    pw = isect["point"]
+    if vel is not None and time is not None:
+        pw = pw - time[:, None] * xp.asarray(vel)[gi]
+    q = vm.mat3_vec(inv_g[:, :3, :3], pw, xp=xp) + inv_g[:, :3, 3]
+    cs = xp.asarray(scene.materials.checker_scale)[mid]
+    # lattice phase offset (1/64, exactly representable): cube faces sit
+    # at object coords of exactly +-0.5, which otherwise lands cell
+    # boundaries exactly on surfaces and makes parity rounding-dependent
+    ph = xp.float32(0.015625)
+    cells = (
+        xp.floor(q[:, 0] * cs - ph) + xp.floor(q[:, 1] * cs - ph)
+        + xp.floor(q[:, 2] * cs - ph)
+    )
+    odd = xp.mod(cells, 2.0) >= 1.0
+    use2 = (cs > 0) & odd
+    c2 = xp.asarray(scene.materials.checker_color)[mid]
+    return xp.where(use2[:, None], c2, color)
 
 
 def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,

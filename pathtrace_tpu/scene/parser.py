@@ -20,7 +20,11 @@ Extensions (all backwards compatible):
 * object key ``MOTION vx vy vz`` — translation over the shutter
   interval, enabling motion blur by time-jittered samples (the
   README.md:109-110 extra; the reference reserved a ``frame`` argument
-  for exactly this, src/main.cpp:102-103).
+  for exactly this, src/main.cpp:102-103);
+* material line 8 (optional) ``CHECKER scale r g b`` — procedural
+  object-space checker texture alternating the albedo with (r,g,b)
+  (the texture-mapping extra, README.md:103; the reference's 7-line
+  material reader would skip this line harmlessly).
 """
 
 from __future__ import annotations
@@ -98,6 +102,7 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                 color=(0.0, 0.0, 0.0), spec_exponent=0.0,
                 spec_color=(0.0, 0.0, 0.0), has_reflective=0.0,
                 has_refractive=0.0, ior=0.0, emittance=0.0,
+                checker_scale=0.0, checker_color=(0.0, 0.0, 0.0),
             )
             for _ in range(7):  # exactly 7 property lines (src/scene.cpp:157)
                 t = (next_line() or "").split()
@@ -118,6 +123,17 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                     m["ior"] = float(t[1])
                 elif key == "EMITTANCE":
                     m["emittance"] = float(t[1])
+            # optional extension line: CHECKER scale r g b
+            # (malformed lines are skipped, like any unknown token —
+            # matching the native parser and the reference's tolerance)
+            if pos < len(lines):
+                peek = lines[pos].split()
+                if peek and peek[0] == "CHECKER" and len(peek) >= 5:
+                    pos += 1
+                    m["checker_scale"] = float(peek[1])
+                    m["checker_color"] = (
+                        float(peek[2]), float(peek[3]), float(peek[4])
+                    )
             materials.append(m)
         elif toks[0] == "OBJECT":
             obj_id = int(toks[1])
@@ -231,6 +247,14 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         has_refractive=np.asarray([m["has_refractive"] for m in materials], dtype=f32),
         ior=np.asarray([m["ior"] for m in materials], dtype=f32),
         emittance=np.asarray([m["emittance"] for m in materials], dtype=f32),
+        checker_scale=(
+            np.asarray([m["checker_scale"] for m in materials], dtype=f32)
+            if any(m["checker_scale"] for m in materials) else None
+        ),
+        checker_color=(
+            np.asarray([m["checker_color"] for m in materials], dtype=f32)
+            if any(m["checker_scale"] for m in materials) else None
+        ),
     )
     gs = T.Geoms(
         type=tuple(int(g["type"]) for g in geoms),  # static metadata
