@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation / direct lighting "
                         "(xla engine)")
+    p.add_argument("--rr", action="store_true",
+                   help="russian-roulette early termination from "
+                        "bounce 3 (xla engine; unbiased)")
     p.add_argument("--chunk", type=int, default=8,
                    help="iterations fused per device dispatch")
     p.add_argument("--preview-every", type=int, default=0, metavar="K",
@@ -106,6 +109,7 @@ def main(argv=None) -> int:
     elif (
         args.engine == "pallas"
         and not args.nee
+        and not args.rr
         and args.compaction == "mask"
     ):
         import jax
@@ -149,6 +153,7 @@ def main(argv=None) -> int:
             rad, counts = pt.pathtrace_batch(
                 scene, args.seed + done + 1, step,
                 compaction=args.compaction, remat=False, nee=args.nee,
+                rr=args.rr,
             )
         rad = np.asarray(rad)
         counts = np.asarray(counts)

@@ -19,7 +19,8 @@ from .core.types import Scene
 from .render import integrator as I
 
 
-def oracle_iteration(scene: Scene, it: int, nee: bool = False):
+def oracle_iteration(scene: Scene, it: int, nee: bool = False,
+                     rr: bool = False):
     """One iteration (1 spp) in NumPy. Returns (radiance (P,3),
     live_counts (depth,))."""
     xp = np
@@ -48,7 +49,7 @@ def oracle_iteration(scene: Scene, it: int, nee: bool = False):
         live_counts.append(int(state["live"].sum()))
         state = I._bounce(
             scene, fwd, inv, inv_t, it_arr, np.int32(depth), state, xp=xp,
-            nee=nee,
+            nee=nee, rr=rr,
         )
     return state["radiance"], np.asarray(live_counts, dtype=np.int32)
 

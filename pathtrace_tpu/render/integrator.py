@@ -126,7 +126,7 @@ def _gather_material(materials, mid, xp=jnp):
 
 
 def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
-            nee: bool = False):
+            nee: bool = False, rr: bool = False):
     """One wavefront bounce: intersect → terminate/accumulate → scatter.
 
     ``state`` is the carried dict; works under jnp (scan body) and numpy
@@ -188,12 +188,27 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
             state["throughput"], cont, time=state.get("time"), xp=xp,
         )
 
+    new_thr = state["throughput"] * thr_mult
+    if rr:
+        # Russian roulette from bounce 3 on: kill with prob 1-p where
+        # p tracks the surviving throughput, boost survivors by 1/p —
+        # unbiased early termination (optional; the reference's spec
+        # terminates only on light/miss/depth)
+        p_srv = xp.clip(
+            xp.max(new_thr, axis=-1), 0.05, 1.0
+        )
+        apply_rr = depth >= 3
+        u_rr = rng.uniform(it, pix, dep, Draw.RR, xp=xp)
+        survive = ~apply_rr | (u_rr < p_srv)
+        cont = cont & survive
+        boost = xp.where(apply_rr & survive, 1.0 / p_srv, 1.0)
+        new_thr = new_thr * boost[:, None]
+
     c3 = cont[:, None]
     out = dict(
         origins=xp.where(c3, isect["point"], o),
         dirs=xp.where(c3, new_dir, d),
-        throughput=xp.where(c3, state["throughput"] * thr_mult,
-                            state["throughput"]),
+        throughput=xp.where(c3, new_thr, state["throughput"]),
         radiance=radiance,
         pixel=pix,
         live=cont,
@@ -306,7 +321,7 @@ def _densify(state, xp=jnp):
 
 
 def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",
-                 remat: bool = True, nee: bool = False):
+                 remat: bool = True, nee: bool = False, rr: bool = False):
     """Trace one 1-spp sample for an arbitrary set of pixel ids.
 
     The building block for sharding: because every random draw is keyed
@@ -337,7 +352,8 @@ def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",
 
     def body(carry, depth):
         live_in = jnp.sum(carry["live"].astype(jnp.int32))
-        nxt = _bounce(scene, fwd, inv, inv_t, it, depth, carry, nee=nee)
+        nxt = _bounce(scene, fwd, inv, inv_t, it, depth, carry, nee=nee,
+                      rr=rr)
         if compaction == "sort":
             nxt = _densify(nxt)
         return nxt, live_in
@@ -364,10 +380,11 @@ def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compaction", "remat", "nee")
+    jax.jit, static_argnames=("compaction", "remat", "nee", "rr")
 )
 def pathtrace_iteration(scene: Scene, it, compaction: str = "mask",
-                        remat: bool = True, nee: bool = False):
+                        remat: bool = True, nee: bool = False,
+                        rr: bool = False):
     """One progressive-refinement iteration (1 sample/pixel), jitted.
 
     Args:
@@ -387,15 +404,16 @@ def pathtrace_iteration(scene: Scene, it, compaction: str = "mask",
         reference's mandated per-bounce instrumentation (README.md:284-293).
     """
     pixel_ids = jnp.arange(scene.pixel_count, dtype=jnp.int32)
-    return trace_pixels(scene, it, pixel_ids, compaction, remat, nee)
+    return trace_pixels(scene, it, pixel_ids, compaction, remat, nee, rr)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "compaction", "remat", "nee")
+    jax.jit, static_argnames=("n_iters", "compaction", "remat", "nee",
+                              "rr")
 )
 def pathtrace_batch(scene: Scene, it0, n_iters: int,
                     compaction: str = "mask", remat: bool = True,
-                    nee: bool = False):
+                    nee: bool = False, rr: bool = False):
     """Sum of ``n_iters`` consecutive iterations starting at ``it0``.
 
     vmapped over the iteration index — the sample axis is the TPU's
@@ -406,7 +424,7 @@ def pathtrace_batch(scene: Scene, it0, n_iters: int,
         n_iters, dtype=jnp.int32
     )
     rad, counts = jax.vmap(
-        lambda i: pathtrace_iteration(scene, i, compaction, remat, nee)
+        lambda i: pathtrace_iteration(scene, i, compaction, remat, nee, rr)
     )(its)
     return jnp.sum(rad, axis=0), counts
 

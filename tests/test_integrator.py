@@ -144,3 +144,23 @@ class TestPhysics:
         img16 = np.asarray(accum2) / 16
         # same scene converges to the same mean brightness
         assert abs(img8.mean() - img16.mean()) < 0.05
+
+
+class TestRussianRoulette:
+    def test_rr_unbiased_and_saves_segments(self, cornell_small):
+        import numpy as np
+
+        a = np.zeros((cornell_small.pixel_count, 3), np.float32)
+        b = np.zeros_like(a)
+        ca = cb = 0
+        deep = __import__("dataclasses").replace(cornell_small, trace_depth=8)
+        for it in range(1, 49):
+            ra, counts_a = pt.pathtrace_iteration(deep, it)
+            rb, counts_b = pt.pathtrace_iteration(deep, it, rr=True)
+            a += np.asarray(ra)
+            b += np.asarray(rb)
+            ca += int(np.asarray(counts_a).sum())
+            cb += int(np.asarray(counts_b).sum())
+        # unbiased within Monte-Carlo noise; strictly fewer segments
+        assert abs(a.mean() - b.mean()) / a.mean() < 0.03
+        assert cb < ca * 0.95
