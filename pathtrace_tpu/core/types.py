@@ -59,6 +59,9 @@ class Materials:
     # CHECKER extension (procedural object-space texture; 0 = off)
     checker_scale: Any = None   # (M,)
     checker_color: Any = None   # (M, 3) the second checker albedo
+    # BUMP extension (procedural sinusoidal bump map; 0 = off)
+    bump_scale: Any = None      # (M,) spatial frequency (cells/unit)
+    bump_strength: Any = None   # (M,) normal perturbation amplitude
 
     @property
     def count(self):

@@ -65,7 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-    lib.pt_scene_fill_materials.argtypes = [c.c_void_p] + [f32p] * 9
+    lib.pt_scene_fill_materials.argtypes = [c.c_void_p] + [f32p] * 11
     lib.pt_scene_fill_geoms.argtypes = [c.c_void_p, i32p, i32p] + [f32p] * 4
     lib.pt_scene_fill_camera.argtypes = [
         c.c_void_p, i32p, f32p, i32p, i32p, f32p, f32p, f32p, f32p, f32p
@@ -154,9 +154,11 @@ def parse_scene_native(path: Optional[str] = None,
         emit = np.zeros((m,), np.float32)
         chk_s = np.zeros((m,), np.float32)
         chk_c = np.zeros((m, 3), np.float32)
+        bmp_s = np.zeros((m,), np.float32)
+        bmp_k = np.zeros((m,), np.float32)
         lib.pt_scene_fill_materials(
             h, color.reshape(-1), spec_ex, spec_c.reshape(-1), refl, refr,
-            ior, emit, chk_s, chk_c.reshape(-1),
+            ior, emit, chk_s, chk_c.reshape(-1), bmp_s, bmp_k,
         )
 
         gtype = np.zeros((g,), np.int32)
@@ -215,6 +217,8 @@ def parse_scene_native(path: Optional[str] = None,
                 emittance=emit,
                 checker_scale=chk_s if np.any(chk_s) else None,
                 checker_color=chk_c if np.any(chk_s) else None,
+                bump_scale=bmp_s if np.any(bmp_k) else None,
+                bump_strength=bmp_k if np.any(bmp_k) else None,
             ),
             geoms=T.Geoms(
                 type=tuple(int(t) for t in gtype), material_id=gmat,

@@ -31,6 +31,8 @@ struct Material {
   float emittance = 0;
   float checker_scale = 0;        // CHECKER extension (0 = off)
   float checker_color[3] = {0, 0, 0};
+  float bump_scale = 0;           // BUMP extension (0 = off)
+  float bump_strength = 0;
 };
 
 struct Geom {
@@ -141,8 +143,8 @@ ParsedScene* parse_text(const std::string& text) {
           m.emittance = tof(t[1]);
         }
       }
-      // optional extension line: CHECKER scale r g b
-      if (pos < lines.size()) {
+      // optional extension lines: CHECKER scale r g b | BUMP scale str
+      while (pos < lines.size()) {
         auto peek = tokenize(lines[pos]);
         if (!peek.empty() && peek[0] == "CHECKER" && peek.size() >= 5) {
           ++pos;
@@ -150,6 +152,13 @@ ParsedScene* parse_text(const std::string& text) {
           m.checker_color[0] = tof(peek[2]);
           m.checker_color[1] = tof(peek[3]);
           m.checker_color[2] = tof(peek[4]);
+        } else if (!peek.empty() && peek[0] == "BUMP" &&
+                   peek.size() >= 3) {
+          ++pos;
+          m.bump_scale = tof(peek[1]);
+          m.bump_strength = tof(peek[2]);
+        } else {
+          break;
         }
       }
       sc->materials.push_back(m);
@@ -297,7 +306,8 @@ void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
                              float* spec_color, float* has_reflective,
                              float* has_refractive, float* ior,
                              float* emittance, float* checker_scale,
-                             float* checker_color) {
+                             float* checker_color, float* bump_scale,
+                             float* bump_strength) {
   auto* sc = static_cast<ParsedScene*>(h);
   for (size_t i = 0; i < sc->materials.size(); ++i) {
     const Material& m = sc->materials[i];
@@ -311,6 +321,8 @@ void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
     checker_scale[i] = m.checker_scale;
     std::memcpy(checker_color + 3 * i, m.checker_color,
                 3 * sizeof(float));
+    bump_scale[i] = m.bump_scale;
+    bump_strength[i] = m.bump_strength;
   }
 }
 

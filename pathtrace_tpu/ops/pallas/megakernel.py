@@ -139,9 +139,39 @@ def _imperfect_specular(m_ex, mrx, mry, mrz, u_s1, u_s2):
     )
 
 
+def _bump_perturb(nx, ny, nz, qx, qy, qz, bs, bk,
+                  t00, t01, t02, t10, t11, t12, t20, t21, t22):
+    """Procedural bump mapping on planes (BUMP extension): perturb the
+    shading normal by the analytic gradient of
+    h = sin(w qx) sin(w qy) sin(w qz), transformed by the geom's
+    inverse-transpose (t** scalars).  Matches integrator._bump_normal."""
+    w = bs * jnp.float32(TWO_PI)
+    ph = jnp.float32(0.5)  # phase: non-degenerate on cube faces
+    sx, cx = jnp.sin(w * qx + ph), jnp.cos(w * qx + ph)
+    sy, cy = jnp.sin(w * qy + ph), jnp.cos(w * qy + ph)
+    sz, cz = jnp.sin(w * qz + ph), jnp.cos(w * qz + ph)
+    gx_o = w * cx * sy * sz
+    gy_o = w * sx * cy * sz
+    gz_o = w * sx * sy * cz
+    gx = t00 * gx_o + t01 * gy_o + t02 * gz_o
+    gy = t10 * gx_o + t11 * gy_o + t12 * gz_o
+    gz = t20 * gx_o + t21 * gy_o + t22 * gz_o
+    gdn = gx * nx + gy * ny + gz * nz
+    tx = gx - gdn * nx
+    ty = gy - gdn * ny
+    tz = gz - gdn * nz
+    px, py, pz = _normalize3(nx - bk * tx, ny - bk * ty, nz - bk * tz)
+    on = bk > 0.0
+    return (
+        jnp.where(on, px, nx),
+        jnp.where(on, py, ny),
+        jnp.where(on, pz, nz),
+    )
+
+
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True, True, True, True, True), early_exit=False):
+            features=(True,) * 6, early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -166,7 +196,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     shader specialization).
     """
     (has_glass, has_imperfect, has_dof, has_motion,
-     has_checker) = features
+     has_checker, has_bump) = features
     if n_tris:
         tri_ref, rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     else:
@@ -385,6 +415,12 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             better = dist < best["dist"]
             mt = lambda k: mats_ref[g, k]
             sel = lambda a, b: jnp.where(better, a, b)
+            if has_bump:
+                nx0, ny0, nz0 = _bump_perturb(
+                    nx0, ny0, nz0, qx, qy, qz, mt(15), mt(16),
+                    m(24), m(25), m(26), m(27), m(28), m(29),
+                    m(30), m(31), m(32),
+                )
             if has_checker:
                 # object-space checker albedo (CHECKER extension);
                 # phase offset matches integrator._checker_albedo
@@ -488,6 +524,12 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 
                 better = dist < best["dist"]
                 sel = lambda a, b: jnp.where(better, a, b)
+                if has_bump:
+                    nx0, ny0, nz0 = _bump_perturb(
+                        nx0, ny0, nz0, qx, qy, qz, m(63), m(64),
+                        m(24), m(25), m(26), m(27), m(28), m(29),
+                        m(30), m(31), m(32),
+                    )
                 if has_checker:
                     cs = m(59)
                     ph = jnp.float32(0.015625)
@@ -752,6 +794,10 @@ def _pack_scene(scene):
              else jnp.zeros((m.count,), jnp.float32))
     chk_c = (m.checker_color if m.checker_color is not None
              else jnp.zeros((m.count, 3), jnp.float32))
+    bmp_s = (m.bump_scale if m.bump_scale is not None
+             else jnp.zeros((m.count,), jnp.float32))
+    bmp_k = (m.bump_strength if m.bump_strength is not None
+             else jnp.zeros((m.count,), jnp.float32))
     mats = jnp.concatenate([
         m.color[mid], m.spec_color[mid],
         m.spec_exponent[mid][:, None], m.has_reflective[mid][:, None],
@@ -759,8 +805,10 @@ def _pack_scene(scene):
         m.emittance[mid][:, None],
         jnp.asarray(chk_s, jnp.float32)[mid][:, None],   # 11
         jnp.asarray(chk_c, jnp.float32)[mid],            # 12..14
-        jnp.zeros((mid.shape[0], 1), jnp.float32),
-    ], axis=1)  # (G,16)
+        jnp.asarray(bmp_s, jnp.float32)[mid][:, None],   # 15
+        jnp.asarray(bmp_k, jnp.float32)[mid][:, None],   # 16
+        jnp.zeros((mid.shape[0], 7), jnp.float32),
+    ], axis=1)  # (G,24)
 
     fwd, inv, inv_t = geom_transforms(scene.geoms)
     vel = scene.geoms.velocity
@@ -793,8 +841,8 @@ def _pack_scene(scene):
             v0, e1, e2, n_obj,                     # 33..44
             tmats,                                 # 45..55
             jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
-            mats[:, 11:15][tg],                    # 59..62 (checker)
-            jnp.zeros((t_count, 128 - 63), jnp.float32),
+            mats[:, 11:17][tg],                    # 59..64 (checker+bump)
+            jnp.zeros((t_count, 128 - 65), jnp.float32),
         ], axis=1)  # (T,128)
     return cam, mats, gmat, tri
 
@@ -805,7 +853,7 @@ def _pack_scene(scene):
                                              "features"))
 def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
          interpret=False, early_exit=False, n_spp=1,
-         features=(True, True, True, True, True)):
+         features=(True,) * 6):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -873,6 +921,7 @@ def _scene_features(scene):
         bool(np.asarray(scene.camera.aperture) > 0),
         scene.geoms.velocity is not None,
         scene.materials.checker_scale is not None,
+        scene.materials.bump_strength is not None,
     )
 
 

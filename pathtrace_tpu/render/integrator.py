@@ -146,10 +146,21 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     )
     mid = xp.asarray(scene.geoms.material_id)[isect["geom_idx"]]
     mat = _gather_material(scene.materials, mid, xp=xp)
+    needs_obj_point = (
+        scene.materials.checker_scale is not None
+        or scene.materials.bump_strength is not None
+    )
+    if needs_obj_point:
+        q = _object_point(
+            inv, isect, vel, state.get("time"), xp=xp
+        )
     if scene.materials.checker_scale is not None:
         mat["color"] = _checker_albedo(
-            scene, inv, isect, mid, mat["color"], vel,
-            state.get("time"), xp=xp,
+            scene, q, mid, mat["color"], xp=xp
+        )
+    if scene.materials.bump_strength is not None:
+        isect["normal"] = _bump_normal(
+            scene, inv_t, q, isect, mid, xp=xp
         )
 
     live = state["live"]
@@ -220,17 +231,49 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     return out
 
 
-def _checker_albedo(scene, inv, isect, mid, color, vel, time, xp=jnp):
-    """Procedural object-space checker (CHECKER material extension, the
-    texture-mapping extra README.md:103): alternate the albedo on a 3D
-    checkerboard in the hit geom's object space — it sticks to the
-    object under instancing and motion."""
+def _object_point(inv, isect, vel, time, xp=jnp):
+    """Hit point in the hit geom's object space (motion-compensated) —
+    the shared basis for procedural texturing and bump mapping."""
     gi = isect["geom_idx"]
     inv_g = xp.asarray(inv)[gi]                    # (N,4,4)
     pw = isect["point"]
     if vel is not None and time is not None:
         pw = pw - time[:, None] * xp.asarray(vel)[gi]
-    q = vm.mat3_vec(inv_g[:, :3, :3], pw, xp=xp) + inv_g[:, :3, 3]
+    return vm.mat3_vec(inv_g[:, :3, :3], pw, xp=xp) + inv_g[:, :3, 3]
+
+
+def _bump_normal(scene, inv_t, q, isect, mid, xp=jnp):
+    """Procedural bump mapping (BUMP material extension, the
+    README.md:104 extra): perturb the shading normal by the analytic
+    gradient of a sinusoidal height field in object space,
+    n' = normalize(n - k * tangential(grad h))."""
+    bs = xp.asarray(scene.materials.bump_scale)[mid]
+    bk = xp.asarray(scene.materials.bump_strength)[mid]
+    w = bs * (2.0 * PI)
+    # h(q) = prod sin(w q_i + 0.5); the 0.5 phase keeps the field
+    # non-degenerate on cube faces (object coords exactly +-0.5)
+    ph = xp.float32(0.5)
+    sx, cx = xp.sin(w * q[:, 0] + ph), xp.cos(w * q[:, 0] + ph)
+    sy, cy = xp.sin(w * q[:, 1] + ph), xp.cos(w * q[:, 1] + ph)
+    sz, cz = xp.sin(w * q[:, 2] + ph), xp.cos(w * q[:, 2] + ph)
+    g_obj = xp.stack(
+        [w * cx * sy * sz, w * sx * cy * sz, w * sx * sy * cz], axis=-1
+    )
+    # gradients transform like normals (inverse-transpose)
+    gi = isect["geom_idx"]
+    it_g = xp.asarray(inv_t)[gi]
+    g_w = vm.mat3_vec(it_g[:, :3, :3], g_obj, xp=xp)
+    n = isect["normal"]
+    g_t = g_w - vm.dot(g_w, n, xp=xp) * n          # tangential part
+    n2 = vm.normalize(n - bk[:, None] * g_t, xp=xp, eps=1e-20)
+    return xp.where((bk > 0)[:, None], n2, n)
+
+
+def _checker_albedo(scene, q, mid, color, xp=jnp):
+    """Procedural object-space checker (CHECKER material extension, the
+    texture-mapping extra README.md:103): alternate the albedo on a 3D
+    checkerboard in the hit geom's object space — it sticks to the
+    object under instancing and motion."""
     cs = xp.asarray(scene.materials.checker_scale)[mid]
     # lattice phase offset (1/64, exactly representable): cube faces sit
     # at object coords of exactly +-0.5, which otherwise lands cell

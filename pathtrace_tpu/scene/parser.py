@@ -103,6 +103,7 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                 spec_color=(0.0, 0.0, 0.0), has_reflective=0.0,
                 has_refractive=0.0, ior=0.0, emittance=0.0,
                 checker_scale=0.0, checker_color=(0.0, 0.0, 0.0),
+                bump_scale=0.0, bump_strength=0.0,
             )
             for _ in range(7):  # exactly 7 property lines (src/scene.cpp:157)
                 t = (next_line() or "").split()
@@ -123,10 +124,12 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                     m["ior"] = float(t[1])
                 elif key == "EMITTANCE":
                     m["emittance"] = float(t[1])
-            # optional extension line: CHECKER scale r g b
+            # optional extension lines after the 7 fixed ones:
+            #   CHECKER scale r g b   (procedural texture)
+            #   BUMP scale strength   (procedural bump map)
             # (malformed lines are skipped, like any unknown token —
             # matching the native parser and the reference's tolerance)
-            if pos < len(lines):
+            while pos < len(lines):
                 peek = lines[pos].split()
                 if peek and peek[0] == "CHECKER" and len(peek) >= 5:
                     pos += 1
@@ -134,6 +137,12 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                     m["checker_color"] = (
                         float(peek[2]), float(peek[3]), float(peek[4])
                     )
+                elif peek and peek[0] == "BUMP" and len(peek) >= 3:
+                    pos += 1
+                    m["bump_scale"] = float(peek[1])
+                    m["bump_strength"] = float(peek[2])
+                else:
+                    break
             materials.append(m)
         elif toks[0] == "OBJECT":
             obj_id = int(toks[1])
@@ -254,6 +263,14 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         checker_color=(
             np.asarray([m["checker_color"] for m in materials], dtype=f32)
             if any(m["checker_scale"] for m in materials) else None
+        ),
+        bump_scale=(
+            np.asarray([m["bump_scale"] for m in materials], dtype=f32)
+            if any(m["bump_strength"] for m in materials) else None
+        ),
+        bump_strength=(
+            np.asarray([m["bump_strength"] for m in materials], dtype=f32)
+            if any(m["bump_strength"] for m in materials) else None
         ),
     )
     gs = T.Geoms(

@@ -123,3 +123,56 @@ class TestChecker:
         s = pt.parse_scene(moving)
         rad, _ = pt.pathtrace_iteration(s, 1)
         assert np.isfinite(np.asarray(rad)).all()
+
+
+BUMP_SCENE = CHECKER_SCENE.replace("CHECKER     4 .1 .1 .9",
+                                   "BUMP        2 0.6")
+
+
+class TestBump:
+    def test_parser_and_native(self):
+        s = pt.parse_scene(BUMP_SCENE)
+        np.testing.assert_allclose(s.materials.bump_scale, [0, 2])
+        np.testing.assert_allclose(s.materials.bump_strength, [0, 0.6])
+        plain = pt.parse_scene(BUMP_SCENE.replace("BUMP        2 0.6\n", ""))
+        assert plain.materials.bump_strength is None
+        from pathtrace_tpu.native import lib as N
+
+        if N.available():
+            import jax
+
+            a = N.parse_scene_native(text=BUMP_SCENE)
+            for x, y in zip(jax.tree.leaves(a),
+                            jax.tree.leaves(pt.parse_scene(BUMP_SCENE))):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_engines_agree(self):
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_iteration_pallas,
+        )
+        from pathtrace_tpu.reference_oracle import oracle_iteration
+
+        s = pt.parse_scene(BUMP_SCENE)
+        rj, _ = pt.pathtrace_iteration(s, 1)
+        rn, _ = oracle_iteration(s, 1)
+        rp, _ = pathtrace_iteration_pallas(s, 1, interpret=True)
+        assert (np.abs(np.asarray(rj) - rn).max(axis=-1) > 1e-3).mean() < 0.005
+        assert (
+            np.abs(np.asarray(rp) - np.asarray(rj)).max(axis=-1) > 1e-3
+        ).mean() < 0.005
+
+    def test_bump_visible_under_nee(self):
+        s = pt.parse_scene(BUMP_SCENE)
+        plain = pt.parse_scene(BUMP_SCENE.replace("BUMP        2 0.6\n", ""))
+        a, _ = pt.pathtrace_batch(s, 1, 8, nee=True, remat=False)
+        b, _ = pt.pathtrace_batch(plain, 1, 8, nee=True, remat=False)
+        diff = np.abs(np.asarray(a) / 8 - np.asarray(b) / 8).max(axis=-1)
+        # the perturbed shading normal shifts the direct-light cosine on
+        # a large fraction of floor pixels
+        assert (diff > 0.01).mean() > 0.15
+
+    def test_zero_strength_noop(self):
+        s = pt.parse_scene(
+            BUMP_SCENE.replace("BUMP        2 0.6", "BUMP        2 0.0")
+        )
+        assert s.materials.bump_strength is None
