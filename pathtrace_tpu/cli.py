@@ -49,8 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "and meshes); xla = jnp wavefront (NEE, "
                         "sort-compaction, differentiation)")
     p.add_argument("--nee", action="store_true",
-                   help="next-event estimation / direct lighting "
-                        "(xla engine)")
+                   help="next-event estimation / direct lighting")
     p.add_argument("--rr", action="store_true",
                    help="russian-roulette early termination from "
                         "bounce 3 (xla engine; unbiased)")
@@ -108,7 +107,6 @@ def main(argv=None) -> int:
         render_fn = make_sharded_renderer(scene, args.compaction)
     elif (
         args.engine == "pallas"
-        and not args.nee
         and not args.rr
         and args.compaction == "mask"
     ):
@@ -120,7 +118,7 @@ def main(argv=None) -> int:
             )
 
             render_fn = lambda it0, step: pathtrace_batch_pallas(
-                scene, it0, step
+                scene, it0, step, nee=args.nee
             )
         else:
             print(

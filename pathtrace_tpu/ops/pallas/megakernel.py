@@ -171,7 +171,7 @@ def _bump_perturb(nx, ny, nz, qx, qy, qz, bs, bk,
 
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True,) * 6, early_exit=False):
+            features=(True,) * 6, nee_lights=(), early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -197,10 +197,11 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     """
     (has_glass, has_imperfect, has_dof, has_motion,
      has_checker, has_bump) = features
-    if n_tris:
-        tri_ref, rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
-    else:
-        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
+    nee = bool(nee_lights)
+    rest = list(rest)
+    tri_ref = rest.pop(0) if n_tris else None
+    lights_ref = rest.pop(0) if nee else None
+    rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     tile = pl.program_id(0)
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
@@ -280,11 +281,10 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
         )
 
-    def intersect(st):
-        """Nearest hit over unrolled geoms. Returns plane dict."""
-        ox, oy, oz = st["ox"], st["oy"], st["oz"]
-        dx, dy, dz = st["dx"], st["dy"], st["dz"]
-        tpl = st.get("time")
+    def trace_nearest(ox, oy, oz, dx, dy, dz, tpl):
+        """Nearest hit over unrolled geoms (and VMEM triangles) for
+        arbitrary ray planes — used for both path rays and NEE shadow
+        rays.  Returns plane dict."""
         big = jnp.float32(NO_HIT)
         best = dict(
             dist=jnp.full((SUB, LANES), big, jnp.float32),
@@ -305,6 +305,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             m_refr=jnp.zeros((SUB, LANES), jnp.float32),
             m_ior=jnp.zeros((SUB, LANES), jnp.float32),
             m_emit=jnp.zeros((SUB, LANES), jnp.float32),
+            gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
         )
 
         for g, gtype in enumerate(geom_types):
@@ -445,6 +446,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 nz=sel(nz0, best["nz"]),
                 outside=sel(jnp.where(outside, 1.0, 0.0).astype(jnp.float32),
                             best["outside"]),
+                gidx=sel(jnp.full((SUB, LANES), float(g), jnp.float32),
+                         best["gidx"]),
                 mc_r=sel(al_r, best["mc_r"]), mc_g=sel(al_g, best["mc_g"]),
                 mc_b=sel(al_b, best["mc_b"]),
                 ms_r=sel(mt(3), best["ms_r"]), ms_g=sel(mt(4), best["ms_g"]),
@@ -556,6 +559,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                         jnp.where(outside, 1.0, 0.0).astype(jnp.float32),
                         best["outside"],
                     ),
+                    gidx=sel(jnp.full((SUB, LANES), m(65), jnp.float32),
+                             best["gidx"]),
                     mc_r=sel(al_r, best["mc_r"]),
                     mc_g=sel(al_g, best["mc_g"]),
                     mc_b=sel(al_b, best["mc_b"]),
@@ -574,6 +579,11 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
 
+    def intersect(st):
+        return trace_nearest(st["ox"], st["oy"], st["oz"],
+                             st["dx"], st["dy"], st["dz"],
+                             st.get("time"))
+
     def shade(st, isect, d, it_u):
         """Terminate-or-scatter, matching ops/bsdf.sample_bsdf."""
         live = st["live"] > 0.0
@@ -581,6 +591,10 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         emissive = isect["m_emit"] > 0.0
 
         lit = live & hit & emissive
+        if nee:
+            # only rays whose previous bounce was non-diffuse (or the
+            # camera) collect BSDF-sampled emission (no double count)
+            lit = lit & (st["emit_ok"] > 0.0)
         rr = st["rr"] + jnp.where(
             lit, st["tr"] * isect["mc_r"] * isect["m_emit"], 0.0
         )
@@ -694,6 +708,15 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             thr_r, thr_g, thr_b = sdr, sdg, sdb
 
         cont = live & hit & ~emissive
+
+        if nee:
+            took_diffuse = ~take_spec
+            if has_glass:
+                took_diffuse = took_diffuse & ~is_glass
+            rr, rg, rb = _nee_add(
+                rr, rg, rb, st, isect, cont, it_u, d + 1
+            )
+
         out = dict(
             ox=jnp.where(cont, isect["px"], st["ox"]),
             oy=jnp.where(cont, isect["py"], st["oy"]),
@@ -707,9 +730,122 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             rr=rr, rg=rg, rb=rb,
             live=jnp.where(cont, 1.0, 0.0).astype(jnp.float32),
         )
+        if nee:
+            out["emit_ok"] = jnp.where(took_diffuse, 0.0, 1.0).astype(
+                jnp.float32
+            )
         if "time" in st:
             out["time"] = st["time"]  # shutter time rides with the ray
         return out
+
+    def _nee_add(rr, rg, rb, st, isect, eligible, it_u, dep):
+        """Direct lighting (NEE) on planes: one area sample + one
+        shadow trace per static light; semantics mirror
+        render.integrator._nee_direct exactly."""
+        has_diffuse = eligible & ~(isect["m_refr"] > 0.0)
+        px, py, pz = isect["px"], isect["py"], isect["pz"]
+        nx, ny, nz = isect["nx"], isect["ny"], isect["nz"]
+        alb_r, alb_g, alb_b = isect["mc_r"], isect["mc_g"], isect["mc_b"]
+        tpl = st.get("time")
+        for k, (li, ltype) in enumerate(nee_lights):
+            lr = lambda c: lights_ref[k, c]
+            base = Draw.NEE_BASE + 3 * k
+            u_sel = _uniform(it_u, pix_u, dep, base + 0)
+            u1 = _uniform(it_u, pix_u, dep, base + 1)
+            u2 = _uniform(it_u, pix_u, dep, base + 2)
+            if ltype == T.SPHERE:
+                # uniform direction on the unit sphere -> fwd transform
+                z = 1.0 - 2.0 * u1
+                r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+                phi = u2 * jnp.float32(TWO_PI)
+                wx, wy, wz = r * jnp.cos(phi), r * jnp.sin(phi), z
+                hx, hy, hz = 0.5 * wx, 0.5 * wy, 0.5 * wz
+                lpx = lr(12) * hx + lr(13) * hy + lr(14) * hz + lr(21)
+                lpy = lr(15) * hx + lr(16) * hy + lr(17) * hz + lr(22)
+                lpz = lr(18) * hx + lr(19) * hy + lr(20) * hz + lr(23)
+                lnx = lr(24) * wx + lr(25) * wy + lr(26) * wz
+                lny = lr(27) * wx + lr(28) * wy + lr(29) * wz
+                lnz = lr(30) * wx + lr(31) * wy + lr(32) * wz
+                lnx, lny, lnz = _normalize3(lnx, lny, lnz)
+            else:
+                # cube: face by area-cdf, then (s,t) on the parallelogram
+                ss = u1 - 0.5
+                tt = u2 - 0.5
+                lpx = jnp.zeros((SUB, LANES), jnp.float32)
+                lpy = jnp.zeros((SUB, LANES), jnp.float32)
+                lpz = jnp.zeros((SUB, LANES), jnp.float32)
+                lnx = jnp.zeros((SUB, LANES), jnp.float32)
+                lny = jnp.zeros((SUB, LANES), jnp.float32)
+                lnz = jnp.zeros((SUB, LANES), jnp.float32)
+                prev = jnp.float32(0.0)
+                for f in range(6):
+                    hi = lr(6 + f)
+                    if f < 5:
+                        mface = (u_sel >= prev) & (u_sel < hi)
+                    else:
+                        mface = u_sel >= prev
+                    ox_f = 12 + 3 * f
+                    eb_f = 30 + 3 * f
+                    ec_f = 48 + 3 * f
+                    nn_f = 66 + 3 * f
+                    lpx = jnp.where(
+                        mface,
+                        lr(ox_f) + ss * lr(eb_f) + tt * lr(ec_f), lpx,
+                    )
+                    lpy = jnp.where(
+                        mface,
+                        lr(ox_f + 1) + ss * lr(eb_f + 1)
+                        + tt * lr(ec_f + 1), lpy,
+                    )
+                    lpz = jnp.where(
+                        mface,
+                        lr(ox_f + 2) + ss * lr(eb_f + 2)
+                        + tt * lr(ec_f + 2), lpz,
+                    )
+                    lnx = jnp.where(mface, lr(nn_f), lnx)
+                    lny = jnp.where(mface, lr(nn_f + 1), lny)
+                    lnz = jnp.where(mface, lr(nn_f + 2), lnz)
+                    prev = hi
+            if has_motion:
+                # moving light: shift sample point to the ray's time
+                lpx = lpx + tpl * lr(120)
+                lpy = lpy + tpl * lr(121)
+                lpz = lpz + tpl * lr(122)
+
+            wlx, wly, wlz = lpx - px, lpy - py, lpz - pz
+            r2 = wlx * wlx + wly * wly + wlz * wlz
+            r2_safe = jnp.maximum(r2, 1e-8)
+            dist_l = jnp.sqrt(jnp.maximum(r2, 1e-12))
+            inv_dl = 1.0 / dist_l
+            sdx, sdy, sdz = wlx * inv_dl, wly * inv_dl, wlz * inv_dl
+
+            sh = trace_nearest(px, py, pz, sdx, sdy, sdz, tpl)
+            tol = jnp.maximum(1e-3, 5e-3 * dist_l)
+            visible = (
+                sh["hit"]
+                & (sh["gidx"] == float(li))
+                & (jnp.abs(sh["dist"] - dist_l) < tol)
+            )
+
+            cos_s = jnp.maximum(
+                nx * sdx + ny * sdy + nz * sdz, 0.0
+            )
+            cos_l = jnp.maximum(
+                -(lnx * sdx + lny * sdy + lnz * sdz), 0.0
+            )
+            gterm = cos_s * cos_l / r2_safe * lr(5)  # * total area
+            w_ok = has_diffuse & visible
+            f_pi = jnp.float32(1.0 / PI)
+            rr = rr + jnp.where(
+                w_ok, st["tr"] * alb_r * f_pi * lr(2) * gterm, 0.0
+            )
+            rg = rg + jnp.where(
+                w_ok, st["tg"] * alb_g * f_pi * lr(3) * gterm, 0.0
+            )
+            rb = rb + jnp.where(
+                w_ok, st["tb"] * alb_b * f_pi * lr(4) * gterm, 0.0
+            )
+        return rr, rg, rb
 
     # ---- the bounce loop (fori_loop: one traced body instead of
     # ``depth`` unrolled copies — Mosaic compile time scales with code
@@ -728,6 +864,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
         )
         state = raygen_state(it_u)
+        if nee:
+            state["emit_ok"] = jnp.ones((SUB, LANES), jnp.float32)
         if has_motion:
             # shutter-time per camera sample (motion blur)
             state["time"] = _uniform(it_u, pix_u, 0, Draw.TIME)
@@ -842,7 +980,8 @@ def _pack_scene(scene):
             tmats,                                 # 45..55
             jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
             mats[:, 11:17][tg],                    # 59..64 (checker+bump)
-            jnp.zeros((t_count, 128 - 65), jnp.float32),
+            jnp.asarray(tg, jnp.float32)[:, None], # 65 (geom idx)
+            jnp.zeros((t_count, 128 - 66), jnp.float32),
         ], axis=1)  # (T,128)
     return cam, mats, gmat, tri
 
@@ -850,10 +989,10 @@ def _pack_scene(scene):
 @functools.partial(jax.jit, static_argnames=("resolution", "trace_depth",
                                              "geom_types", "interpret",
                                              "early_exit", "n_spp",
-                                             "features"))
-def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
-         interpret=False, early_exit=False, n_spp=1,
-         features=(True,) * 6):
+                                             "features", "nee_lights"))
+def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
+         geom_types, interpret=False, early_exit=False, n_spp=1,
+         features=(True,) * 6, nee_lights=()):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -863,7 +1002,8 @@ def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
-        n_spp=n_spp, features=features, early_exit=early_exit,
+        n_spp=n_spp, features=features, nee_lights=nee_lights,
+        early_exit=early_exit,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
@@ -873,6 +1013,8 @@ def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
     ]
     if n_tris:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # tri
+    if nee_lights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=in_specs,
@@ -890,6 +1032,8 @@ def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
     args = [it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat]
     if n_tris:
         args.append(tri)
+    if nee_lights:
+        args.append(lights)
     rad_r, rad_g, rad_b, counts = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -909,6 +1053,56 @@ def _run(cam, mats, gmat, tri, it, resolution, trace_depth, geom_types,
     return rad, jnp.sum(counts, axis=0)
 
 
+def _pack_lights(scene):
+    """(lights (L,128) f32, nee_lights static tuple ((geom_idx, type),…))
+    for the in-kernel NEE loop.  Layout per row: 0 gidx | 1 type |
+    2-4 emission | 5 total area | cube: 6-11 area cdf, 12-29 face
+    origins, 30-47 e_b, 48-65 e_c, 66-83 outward normals | sphere:
+    12-20 fwd 3x3, 21-23 center, 24-32 invT 3x3 | 120-122 velocity."""
+    from ...ops import lights as L
+
+    fwd, inv, inv_t = geom_transforms(scene.geoms)
+    rows = []
+    statics = []
+    for li in scene.light_indices:
+        ltype = int(scene.geoms.type[li])
+        statics.append((int(li), ltype))
+        mid = scene.geoms.material_id[li]
+        emission = (
+            jnp.asarray(scene.materials.color)[mid]
+            * jnp.asarray(scene.materials.emittance)[mid]
+        )
+        row = jnp.zeros((128,), jnp.float32)
+        row = row.at[0].set(float(li)).at[1].set(float(ltype))
+        row = row.at[2:5].set(emission)
+        if ltype == T.SPHERE:
+            cols = fwd[li][:3, :3]
+            s_mean = jnp.mean(
+                jnp.sqrt(jnp.sum(cols * cols, axis=0))
+            )
+            area = 4.0 * jnp.float32(PI) * (0.5 * s_mean) ** 2
+            row = row.at[5].set(area)
+            row = row.at[12:21].set(fwd[li][:3, :3].reshape(-1))
+            row = row.at[21:24].set(fwd[li][:3, 3])
+            row = row.at[24:33].set(inv_t[li][:3, :3].reshape(-1))
+        else:
+            tab = L.cube_light_tables(fwd[li])
+            total = jnp.sum(tab["area"])
+            cdf = jnp.cumsum(tab["area"]) / jnp.maximum(total, 1e-20)
+            row = row.at[5].set(total)
+            row = row.at[6:12].set(cdf)
+            row = row.at[12:30].set(tab["origin"].reshape(-1))
+            row = row.at[30:48].set(tab["e_b"].reshape(-1))
+            row = row.at[48:66].set(tab["e_c"].reshape(-1))
+            row = row.at[66:84].set(tab["normal"].reshape(-1))
+        if scene.geoms.velocity is not None:
+            row = row.at[120:123].set(
+                jnp.asarray(scene.geoms.velocity)[li]
+            )
+        rows.append(row)
+    return jnp.stack(rows), tuple(statics)
+
+
 def _scene_features(scene):
     """(has_glass, has_imperfect, has_dof): static scene facts used to
     specialize the kernel.  Requires concrete (non-traced) leaves —
@@ -926,17 +1120,22 @@ def _scene_features(scene):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit",
-                                             "features"))
-def _iteration_jit(scene, it, interpret, early_exit, features):
+                                             "features", "nee"))
+def _iteration_jit(scene, it, interpret, early_exit, features, nee=False):
     cam, mats, gmat, tri = _pack_scene(scene)
+    lights, nee_lights = (
+        _pack_lights(scene) if nee else (None, ())
+    )
     return _run(
-        cam, mats, gmat, tri, jnp.asarray(it, jnp.int32),
+        cam, mats, gmat, tri, lights, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, 1, features,
+        nee_lights,
     )
 
 
-def pathtrace_iteration_pallas(scene, it, interpret=False, early_exit=False):
+def pathtrace_iteration_pallas(scene, it, interpret=False,
+                               early_exit=False, nee=False):
     """Drop-in Pallas replacement for render.integrator.pathtrace_iteration
     (mask-mode semantics), spheres/cubes AND triangle meshes — the
     triangle table lives in VMEM and folds per ray tile.  Fully jitted,
@@ -944,12 +1143,12 @@ def pathtrace_iteration_pallas(scene, it, interpret=False, early_exit=False):
     each on the TPU tunnel.
     """
     return _iteration_jit(
-        scene, it, interpret, early_exit, _scene_features(scene)
+        scene, it, interpret, early_exit, _scene_features(scene), nee
     )
 
 
 def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
-                           early_exit=False):
+                           early_exit=False, nee=False):
     """``n_iters`` samples/pixel in ONE kernel launch: the spp loop runs
     *inside* the megakernel, so per-sample radiance never touches HBM —
     one accumulated writeback per call.  Returns
@@ -959,18 +1158,23 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     """
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
-        _scene_features(scene),
+        _scene_features(scene), nee,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
-                                             "early_exit", "features"))
-def _batch_jit(scene, it0, n_iters, interpret, early_exit, features):
+                                             "early_exit", "features",
+                                             "nee"))
+def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
+               nee=False):
     cam, mats, gmat, tri = _pack_scene(scene)
+    lights, nee_lights = (
+        _pack_lights(scene) if nee else (None, ())
+    )
     rad, counts = _run(
-        cam, mats, gmat, tri, jnp.asarray(it0, jnp.int32),
+        cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, n_iters,
-        features,
+        features, nee_lights,
     )
     return rad, counts
