@@ -171,7 +171,8 @@ def _bump_perturb(nx, ny, nz, qx, qy, qz, bs, bk,
 
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True,) * 6, nee_lights=(), early_exit=False):
+            features=(True,) * 6, nee_lights=(), grad_mats=(),
+            early_exit=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -198,10 +199,20 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     (has_glass, has_imperfect, has_dof, has_motion,
      has_checker, has_bump) = features
     nee = bool(nee_lights)
+    grad_mode = bool(grad_mats)   # grad_mats = (M, geom->material map…)
+    n_mats = grad_mats[0] if grad_mode else 0
+    mat_of_geom = grad_mats[1:] if grad_mode else ()
     rest = list(rest)
     tri_ref = rest.pop(0) if n_tris else None
     lights_ref = rest.pop(0) if nee else None
-    rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
+    if grad_mode:
+        mtab_ref = rest.pop(0)     # (M,8): color3 spec3 emit refl
+        ct_r_ref = rest.pop(0)     # cotangent planes (tile blocks)
+        ct_g_ref = rest.pop(0)
+        ct_b_ref = rest.pop(0)
+        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref, gtab_ref = rest
+    else:
+        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
     tile = pl.program_id(0)
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
@@ -235,7 +246,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         oz = jnp.full((SUB, LANES), pos_z, jnp.float32)
 
         if not has_dof:
-            return dict(
+            st = dict(
                 ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
                 tr=jnp.ones((SUB, LANES), jnp.float32),
                 tg=jnp.ones((SUB, LANES), jnp.float32),
@@ -245,6 +256,13 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 rb=jnp.zeros((SUB, LANES), jnp.float32),
                 live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
             )
+            if grad_mode:
+                for mm in range(n_mats):
+                    for kind in ("col", "spec", "emit", "dp", "d1p"):
+                        st[f"c_{kind}_{mm}"] = jnp.zeros(
+                            (SUB, LANES), jnp.float32
+                        )
+            return st
         u1 = _uniform(it_u, pix_u, 0, Draw.DOF_U)
         u2 = _uniform(it_u, pix_u, 0, Draw.DOF_V)
         r_lens = aperture * jnp.sqrt(u1)
@@ -268,7 +286,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         dy = jnp.where(use_dof, ndy, dy)
         dz = jnp.where(use_dof, ndz, dz)
 
-        return dict(
+        st = dict(
             ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
             tr=jnp.ones((SUB, LANES), jnp.float32),
             tg=jnp.ones((SUB, LANES), jnp.float32),
@@ -280,6 +298,13 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             # through lax.cond-carried state
             live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
         )
+        if grad_mode:
+            for mm in range(n_mats):
+                for kind in ("col", "spec", "emit", "dp", "d1p"):
+                    st[f"c_{kind}_{mm}"] = jnp.zeros(
+                        (SUB, LANES), jnp.float32
+                    )
+        return st
 
     def trace_nearest(ox, oy, oz, dx, dy, dz, tpl):
         """Nearest hit over unrolled geoms (and VMEM triangles) for
@@ -709,6 +734,51 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 
         cont = live & hit & ~emissive
 
+        if grad_mode:
+            # per-path factor bookkeeping for analytic material grads:
+            # each bounce multiplies the throughput by one of
+            # color[m]/p-ish factors; counting them per material makes
+            # d(radiance)/d(param) closed-form at the path's end.
+            midp = jnp.full((SUB, LANES), -1.0, jnp.float32)
+            for g_i, m_i in enumerate(mat_of_geom):
+                midp = jnp.where(
+                    isect["gidx"] == float(g_i), float(m_i), midp
+                )
+            ev_diff = cont & ~take_spec
+            ev_spec = cont & take_spec
+            if has_glass:
+                ev_diff = ev_diff & ~is_glass
+                ev_spec = ev_spec & ~is_glass
+                ev_grefl = cont & is_glass & choose_refl
+                ev_grefr = cont & is_glass & ~choose_refl
+            for mm in range(n_mats):
+                sel_m = midp == float(mm)
+                one = jnp.float32(1.0)
+                c_col = st[f"c_col_{mm}"]
+                c_spec = st[f"c_spec_{mm}"]
+                c_col = c_col + jnp.where(ev_diff & sel_m, one, 0.0)
+                c_spec = c_spec + jnp.where(ev_spec & sel_m, one, 0.0)
+                if has_glass:
+                    c_spec = c_spec + jnp.where(
+                        ev_grefl & sel_m, one, 0.0
+                    )
+                    c_col = c_col + jnp.where(
+                        ev_grefr & sel_m, one, 0.0
+                    )
+                # emission factor: radiance = thr * color_m * emit_m
+                c_col = c_col + jnp.where(lit & sel_m, one, 0.0)
+                st[f"c_col_{mm}"] = c_col
+                st[f"c_spec_{mm}"] = c_spec
+                st[f"c_emit_{mm}"] = st[f"c_emit_{mm}"] + jnp.where(
+                    lit & sel_m, one, 0.0
+                )
+                st[f"c_dp_{mm}"] = st[f"c_dp_{mm}"] + jnp.where(
+                    ev_spec & sel_m, one, 0.0
+                )
+                st[f"c_d1p_{mm}"] = st[f"c_d1p_{mm}"] + jnp.where(
+                    ev_diff & sel_m, one, 0.0
+                )
+
         if nee:
             took_diffuse = ~take_spec
             if has_glass:
@@ -734,6 +804,10 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             out["emit_ok"] = jnp.where(took_diffuse, 0.0, 1.0).astype(
                 jnp.float32
             )
+        if grad_mode:
+            for key in st:
+                if key.startswith("c_"):
+                    out[key] = st[key]
         if "time" in st:
             out["time"] = st["time"]  # shutter time rides with the ray
         return out
@@ -859,7 +933,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         """Full trace of one sample per pixel, accumulating in VMEM —
         the in-kernel spp loop amortizes the radiance writeback across
         samples (HBM traffic per ray per sample: zero)."""
-        acc_r, acc_g, acc_b, counts_acc = acc
+        acc_r, acc_g, acc_b, counts_acc = acc[:4]
         it_u = _u32(
             jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
         )
@@ -890,19 +964,78 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         state, counts_acc = jax.lax.fori_loop(
             0, depth, depth_body, (state, counts_acc)
         )
-        return (acc_r + state["rr"], acc_g + state["rg"],
-                acc_b + state["rb"], counts_acc)
+        out = (acc_r + state["rr"], acc_g + state["rg"],
+               acc_b + state["rb"], counts_acc)
+        if grad_mode:
+            out = out + (_grad_accumulate(state, acc[4]),)
+        return out
+
+    def _grad_accumulate(st, gtab):
+        """Fold this sample's analytic material gradients into the
+        per-tile table.  Layout (8,128): rows 0-2 d/d color rgb (col=m),
+        rows 3-5 d/d spec_color rgb, row 6 d/d emittance,
+        row 7 d/d has_reflective."""
+        ct_r = ct_r_ref[:, :]
+        ct_g = ct_g_ref[:, :]
+        ct_b = ct_b_ref[:, :]
+        wr = ct_r * st["rr"]
+        wg = ct_g * st["rg"]
+        wb = ct_b * st["rb"]
+        grow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        eps = jnp.float32(1e-8)
+        for mm in range(n_mats):
+            mv = lambda c: mtab_ref[mm, c]
+            n_ce = st[f"c_col_{mm}"]
+            n_sp = st[f"c_spec_{mm}"]
+            n_em = st[f"c_emit_{mm}"]
+            n_dp = st[f"c_dp_{mm}"]
+            n_d1 = st[f"c_d1p_{mm}"]
+            vals = []
+            for w, ci in ((wr, 0), (wg, 1), (wb, 2)):
+                c = mv(ci)
+                vals.append(jnp.sum(
+                    jnp.where(c > eps, w * n_ce / jnp.maximum(c, eps),
+                              0.0)
+                ))
+            for w, ci in ((wr, 3), (wg, 4), (wb, 5)):
+                c = mv(ci)
+                vals.append(jnp.sum(
+                    jnp.where(c > eps, w * n_sp / jnp.maximum(c, eps),
+                              0.0)
+                ))
+            e = mv(6)
+            wsum = wr + wg + wb
+            vals.append(jnp.sum(
+                jnp.where(e > eps,
+                          wsum * n_em / jnp.maximum(e, eps), 0.0)
+            ))
+            pm = jnp.clip(mv(7), 0.0, 1.0)
+            term = (
+                -jnp.where(pm > eps, n_dp / jnp.maximum(pm, eps), 0.0)
+                + jnp.where(1.0 - pm > eps,
+                            n_d1 / jnp.maximum(1.0 - pm, eps), 0.0)
+            )
+            vals.append(jnp.sum(wsum * term))
+            for r_i, v in enumerate(vals):
+                gtab = gtab + jnp.where(
+                    (grow == r_i) & (gcol == mm), v, 0.0
+                )
+        return gtab
 
     zeros = jnp.zeros((SUB, LANES), jnp.float32)
-    acc_r, acc_g, acc_b, counts_acc = jax.lax.fori_loop(
-        0, n_spp, one_sample,
-        (zeros, zeros, zeros, jnp.zeros((8, LANES), jnp.int32)),
-    )
+    init = (zeros, zeros, zeros, jnp.zeros((8, LANES), jnp.int32))
+    if grad_mode:
+        init = init + (jnp.zeros((8, LANES), jnp.float32),)
+    acc = jax.lax.fori_loop(0, n_spp, one_sample, init)
+    acc_r, acc_g, acc_b, counts_acc = acc[:4]
 
     counts_ref[:, :] = counts_acc
     rad_r_ref[:, :] = acc_r
     rad_g_ref[:, :] = acc_g
     rad_b_ref[:, :] = acc_b
+    if grad_mode:
+        gtab_ref[:, :] = acc[4]
 
 
 # ----------------------------------------------------------------------------
@@ -989,22 +1122,27 @@ def _pack_scene(scene):
 @functools.partial(jax.jit, static_argnames=("resolution", "trace_depth",
                                              "geom_types", "interpret",
                                              "early_exit", "n_spp",
-                                             "features", "nee_lights"))
+                                             "features", "nee_lights",
+                                             "grad_mats"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
-         features=(True,) * 6, nee_lights=()):
+         features=(True,) * 6, nee_lights=(), grad_mats=(),
+         mtab=None, ct=None):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
     pad_rows = n_tiles * SUB
     n_tris = 0 if tri is None else tri.shape[0]
+    grad_mode = bool(grad_mats)
 
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
         n_spp=n_spp, features=features, nee_lights=nee_lights,
-        early_exit=early_exit,
+        grad_mats=grad_mats, early_exit=early_exit,
     )
+    tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
         pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
@@ -1015,41 +1153,52 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # tri
     if nee_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
+    if grad_mode:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mtab
+        in_specs += [tile_block(), tile_block(), tile_block()]   # ct rgb
+    out_specs = [tile_block(), tile_block(), tile_block(),
+                 pl.BlockSpec((8, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
+    ]
+    if grad_mode:
+        out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+        )
     grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        grid=(n_tiles,), in_specs=in_specs, out_specs=tuple(out_specs)
     )
     args = [it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat]
     if n_tris:
         args.append(tri)
     if nee_lights:
         args.append(lights)
-    rad_r, rad_g, rad_b, counts = pl.pallas_call(
+    if grad_mode:
+        args.append(mtab)
+        args += list(ct)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*args)
+    rad_r, rad_g, rad_b, counts = outs[:4]
 
     rad = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
     )[:n_pixels]
     counts = counts.reshape(n_tiles, 8, 128)[:, 0, :trace_depth]
+    if grad_mode:
+        gtab = jnp.sum(
+            outs[4].reshape(n_tiles, 8, 128), axis=0
+        )
+        return rad, jnp.sum(counts, axis=0), gtab
     return rad, jnp.sum(counts, axis=0)
 
 
@@ -1178,3 +1327,84 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
         features, nee_lights,
     )
     return rad, counts
+
+
+# ----------------------------------------------------------------------------
+# analytic material gradients (the backward Pallas path)
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_spp", "interpret",
+                                             "features", "grad_mats"))
+def _grads_jit(scene, ct, it0, n_spp, interpret, features, grad_mats):
+    cam, mats, gmat, tri = _pack_scene(scene)
+    m = scene.materials
+    mtab = jnp.concatenate([
+        jnp.asarray(m.color, jnp.float32),
+        jnp.asarray(m.spec_color, jnp.float32),
+        jnp.asarray(m.emittance, jnp.float32)[:, None],
+        jnp.asarray(m.has_reflective, jnp.float32)[:, None],
+    ], axis=1)  # (M,8)
+    width, height = scene.resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    pad = n_tiles * TILE - n_pixels
+    ct_flat = jnp.concatenate(
+        [jnp.asarray(ct, jnp.float32),
+         jnp.zeros((pad, 3), jnp.float32)], axis=0
+    )
+    ct_planes = tuple(
+        ct_flat[:, c].reshape(n_tiles * SUB, LANES) for c in range(3)
+    )
+    rad, counts, gtab = _run(
+        cam, mats, gmat, tri, None, jnp.asarray(it0, jnp.int32),
+        tuple(scene.resolution), int(scene.trace_depth),
+        tuple(scene.geoms.type), interpret, False, n_spp, features,
+        (), grad_mats, mtab, ct_planes,
+    )
+    n_mats = grad_mats[0]
+    return rad, dict(
+        color=gtab[0:3, :n_mats].T,        # (M,3)
+        spec_color=gtab[3:6, :n_mats].T,   # (M,3)
+        emittance=gtab[6, :n_mats],        # (M,)
+        has_reflective=gtab[7, :n_mats],   # (M,)
+    )
+
+
+def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
+    """Analytic gradients of ``sum(ct * accumulated_radiance)`` w.r.t.
+    material parameters, computed inside the megakernel — the backward
+    Pallas path for inverse rendering.
+
+    At fixed RNG a path's radiance is a product of per-bounce factors
+    (albedo / specular tints, 1/p probability divisions) times the
+    terminal emission; counting each material's factors per path makes
+    the parameter gradient closed-form — no reverse sweep, no stored
+    intermediates, same single VMEM-resident forward loop.  Exact vs
+    XLA autodiff of the jnp integrator (tests/test_grad_kernel.py),
+    with the documented estimator caveats: detached discrete choices,
+    zero-valued parameter channels get zero gradient.
+
+    Not supported (falls back to render.diff): NEE mode, russian
+    roulette, CHECKER-textured albedo.
+
+    Args:
+      scene: concrete Scene (no checker materials).
+      ct: (P,3) cotangent image (e.g. dLoss/dAccum).
+      it0, n_spp: iteration range to trace.
+
+    Returns (accumulated radiance (P,3),
+             grads dict: color (M,3), spec_color (M,3), emittance (M,),
+             has_reflective (M,)).
+    """
+    if scene.materials.checker_scale is not None:
+        raise NotImplementedError(
+            "material_grads_pallas does not support CHECKER materials; "
+            "use render.diff.render_loss_and_grad"
+        )
+    grad_mats = (int(scene.materials.count),) + tuple(
+        int(x) for x in np.asarray(scene.geoms.material_id)
+    )
+    return _grads_jit(
+        scene, ct, it0, n_spp, interpret, _scene_features(scene),
+        grad_mats,
+    )
