@@ -104,7 +104,9 @@ def main(argv=None) -> int:
     if args.shard:
         from pathtrace_tpu.parallel.shard import make_sharded_renderer
 
-        render_fn = make_sharded_renderer(scene, args.compaction)
+        render_fn = make_sharded_renderer(
+            scene, args.compaction, engine=args.engine
+        )
     elif (
         args.engine == "pallas"
         and not args.rr

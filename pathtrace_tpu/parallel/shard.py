@@ -125,12 +125,49 @@ def render_pixel_sharded(scene: Scene, it0: int, n_iters: int,
     return jax.jit(f)(scene, its, pix)
 
 
+def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
+                                 mesh: Mesh):
+    """Sample-sharded rendering with the Pallas megakernel inside the
+    mesh: each device runs its slice of the spp batch through the
+    in-kernel spp loop, then one image psum over ICI.  The megakernel
+    is a per-device program, so it composes with shard_map unchanged —
+    the counter RNG keyed on (iter, pixel) makes the result identical
+    to a single-device render of the same iterations.
+
+    Requires a TPU mesh (the kernel has no compiled CPU path).
+    ``n_iters`` must be a multiple of the mesh size.
+    """
+    from ..ops.pallas.megakernel import _batch_jit, _scene_features
+
+    ndev = mesh.devices.size
+    if n_iters % ndev:
+        raise ValueError(f"n_iters={n_iters} not divisible by {ndev}")
+    per_dev = n_iters // ndev
+    its0 = it0 + jnp.arange(ndev, dtype=jnp.int32) * per_dev
+    features = _scene_features(scene)
+
+    def body(scene, it0_local):
+        rad, counts = _batch_jit(
+            scene, it0_local[0], per_dev, False, False, features
+        )
+        return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(f)(scene, its0)
+
+
 def make_sharded_renderer(scene: Scene, compaction: str = "mask",
-                          mode: str = "samples"):
+                          mode: str = "samples", engine: str = "xla"):
     """CLI hook: returns ``fn(it0, step) -> (accum, counts)``."""
     mesh = make_mesh()
 
     def fn(it0, step):
+        if engine == "pallas":
+            return render_sample_sharded_pallas(scene, it0, step, mesh)
         if mode == "pixels":
             return render_pixel_sharded(scene, it0, step, mesh, compaction)
         return render_sample_sharded(scene, it0, step, mesh, compaction)

@@ -53,6 +53,24 @@ def main(argv=None) -> int:
                 f"{time.time() - t0:.1f}s",
                 flush=True,
             )
+        if os.environ.get("PT_WARMUP_EXTRA"):
+            from pathtrace_tpu.ops.pallas.megakernel import (
+                material_grads_pallas,
+            )
+
+            for chunk in chunks:
+                t0 = time.time()
+                r, _ = pathtrace_batch_pallas(scene, 1, chunk, nee=True)
+                np.asarray(r)
+                print(f"warm nee chunk={chunk}: {time.time()-t0:.1f}s",
+                      flush=True)
+            if scene.materials.checker_scale is None:
+                t0 = time.time()
+                ct = np.ones((scene.pixel_count, 3), np.float32)
+                _, g = material_grads_pallas(scene, ct, 1, chunks[-1])
+                np.asarray(g["color"])
+                print(f"warm grads chunk={chunks[-1]}: "
+                      f"{time.time()-t0:.1f}s", flush=True)
     return 0
 
 

@@ -82,3 +82,13 @@ class TestShardedGrad:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
             )
+
+
+class TestShardedPallas:
+    def test_rejects_indivisible(self, cornell_small, mesh):
+        with pytest.raises(ValueError, match="not divisible"):
+            ps.render_sample_sharded_pallas(
+                cornell_small, 1, mesh.devices.size + 1, mesh
+            )
+    # equality vs the direct megakernel is verified on a real TPU mesh
+    # (pallas has no compiled CPU path); see BENCHMARKS.md
