@@ -29,7 +29,6 @@ code then spans hosts (jax.distributed + ICI/DCN collectives).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -29,7 +29,6 @@ iteration count (src/pathtrace.cu:98-117, src/main.cpp:49-70).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
