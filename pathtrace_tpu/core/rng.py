@@ -84,5 +84,8 @@ class Draw:
     SPEC_U1 = 4       # imperfect-specular u1
     SPEC_U2 = 5       # imperfect-specular u2
     RR = 6            # russian roulette (optional)
+    SSS_STEP = 8      # medium free-path sample (subsurface scattering)
+    SSS_U = 9         # isotropic phase function u
+    SSS_V = 10        # isotropic phase function v
     # NEE (direct lighting): light k uses draws NEE_BASE+3k .. +3k+2
     NEE_BASE = 16     # +0: face/strata select, +1: u, +2: v

@@ -62,6 +62,10 @@ class Materials:
     # BUMP extension (procedural sinusoidal bump map; 0 = off)
     bump_scale: Any = None      # (M,) spatial frequency (cells/unit)
     bump_strength: Any = None   # (M,) normal perturbation amplitude
+    # SSS extension (participating medium behind a refractive
+    # interface; random-walk subsurface scattering; 0 = off)
+    sss_sigma: Any = None       # (M,) scattering coefficient (1/units)
+    sss_albedo: Any = None      # (M, 3) single-scattering albedo
 
     @property
     def count(self):

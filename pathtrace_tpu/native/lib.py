@@ -65,7 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-    lib.pt_scene_fill_materials.argtypes = [c.c_void_p] + [f32p] * 11
+    lib.pt_scene_fill_materials.argtypes = [c.c_void_p] + [f32p] * 13
     lib.pt_scene_fill_geoms.argtypes = [c.c_void_p, i32p, i32p] + [f32p] * 4
     lib.pt_scene_fill_camera.argtypes = [
         c.c_void_p, i32p, f32p, i32p, i32p, f32p, f32p, f32p, f32p, f32p
@@ -156,9 +156,12 @@ def parse_scene_native(path: Optional[str] = None,
         chk_c = np.zeros((m, 3), np.float32)
         bmp_s = np.zeros((m,), np.float32)
         bmp_k = np.zeros((m,), np.float32)
+        sss_s = np.zeros((m,), np.float32)
+        sss_a = np.zeros((m, 3), np.float32)
         lib.pt_scene_fill_materials(
             h, color.reshape(-1), spec_ex, spec_c.reshape(-1), refl, refr,
             ior, emit, chk_s, chk_c.reshape(-1), bmp_s, bmp_k,
+            sss_s, sss_a.reshape(-1),
         )
 
         gtype = np.zeros((g,), np.int32)
@@ -219,6 +222,8 @@ def parse_scene_native(path: Optional[str] = None,
                 checker_color=chk_c if np.any(chk_s) else None,
                 bump_scale=bmp_s if np.any(bmp_k) else None,
                 bump_strength=bmp_k if np.any(bmp_k) else None,
+                sss_sigma=sss_s if np.any(sss_s) else None,
+                sss_albedo=sss_a if np.any(sss_s) else None,
             ),
             geoms=T.Geoms(
                 type=tuple(int(t) for t in gtype), material_id=gmat,

@@ -33,6 +33,8 @@ struct Material {
   float checker_color[3] = {0, 0, 0};
   float bump_scale = 0;           // BUMP extension (0 = off)
   float bump_strength = 0;
+  float sss_sigma = 0;            // SSS extension (0 = off)
+  float sss_albedo[3] = {0, 0, 0};
 };
 
 struct Geom {
@@ -157,6 +159,13 @@ ParsedScene* parse_text(const std::string& text) {
           ++pos;
           m.bump_scale = tof(peek[1]);
           m.bump_strength = tof(peek[2]);
+        } else if (!peek.empty() && peek[0] == "SSS" &&
+                   peek.size() >= 5) {
+          ++pos;
+          m.sss_sigma = tof(peek[1]);
+          m.sss_albedo[0] = tof(peek[2]);
+          m.sss_albedo[1] = tof(peek[3]);
+          m.sss_albedo[2] = tof(peek[4]);
         } else {
           break;
         }
@@ -307,7 +316,8 @@ void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
                              float* has_refractive, float* ior,
                              float* emittance, float* checker_scale,
                              float* checker_color, float* bump_scale,
-                             float* bump_strength) {
+                             float* bump_strength, float* sss_sigma,
+                             float* sss_albedo) {
   auto* sc = static_cast<ParsedScene*>(h);
   for (size_t i = 0; i < sc->materials.size(); ++i) {
     const Material& m = sc->materials[i];
@@ -323,6 +333,8 @@ void pt_scene_fill_materials(void* h, float* color, float* spec_exponent,
                 3 * sizeof(float));
     bump_scale[i] = m.bump_scale;
     bump_strength[i] = m.bump_strength;
+    sss_sigma[i] = m.sss_sigma;
+    std::memcpy(sss_albedo + 3 * i, m.sss_albedo, 3 * sizeof(float));
   }
 }
 

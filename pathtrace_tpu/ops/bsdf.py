@@ -98,8 +98,11 @@ def sample_bsdf(wi, normal, outside, mat, u, xp=jnp):
         spec_u2 — fixed slots of the (iter,pixel,depth) stream.
 
     Returns (new_dir (N,3), throughput_multiplier (N,3),
-    took_diffuse (N,) bool — True where the diffuse lobe was sampled;
-    NEE uses it to cancel double-counted BSDF-sampled emission).
+    took_diffuse (N,) bool — True where the diffuse lobe was sampled
+    (NEE uses it to cancel double-counted BSDF-sampled emission),
+    took_refract (N,) bool — True where the ray passed through the
+    refractive interface (subsurface scattering tracks medium
+    boundaries with it)).
     """
     color = mat["color"]
     spec_color = mat["spec_color"]
@@ -138,4 +141,5 @@ def sample_bsdf(wi, normal, outside, mat, u, xp=jnp):
     new_dir = xp.where(is_glass, d_fresnel, d_sd)
     thr = xp.where(is_glass, t_fresnel, t_sd)
     took_diffuse = ~take_spec & ~is_glass[..., 0]
-    return new_dir, thr, took_diffuse
+    took_refract = is_glass[..., 0] & ~choose_reflect
+    return new_dir, thr, took_diffuse, took_refract

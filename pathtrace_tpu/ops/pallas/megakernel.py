@@ -331,6 +331,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             m_ior=jnp.zeros((SUB, LANES), jnp.float32),
             m_emit=jnp.zeros((SUB, LANES), jnp.float32),
             gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
+            push=jnp.zeros((SUB, LANES), jnp.float32),
         )
 
         for g, gtype in enumerate(geom_types):
@@ -473,6 +474,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                             best["outside"]),
                 gidx=sel(jnp.full((SUB, LANES), float(g), jnp.float32),
                          best["gidx"]),
+                push=sel(jnp.full((SUB, LANES), gmat_ref[g, 36],
+                                  jnp.float32), best["push"]),
                 mc_r=sel(al_r, best["mc_r"]), mc_g=sel(al_g, best["mc_g"]),
                 mc_b=sel(al_b, best["mc_b"]),
                 ms_r=sel(mt(3), best["ms_r"]), ms_g=sel(mt(4), best["ms_g"]),
@@ -586,6 +589,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                     ),
                     gidx=sel(jnp.full((SUB, LANES), m(65), jnp.float32),
                              best["gidx"]),
+                    push=sel(jnp.full((SUB, LANES), m(66), jnp.float32),
+                             best["push"]),
                     mc_r=sel(al_r, best["mc_r"]),
                     mc_g=sel(al_g, best["mc_g"]),
                     mc_b=sel(al_b, best["mc_b"]),
@@ -734,6 +739,16 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 
         cont = live & hit & ~emissive
 
+        # transmission fix (see integrator._bounce): push refracted
+        # continuations past the interface so they don't re-intersect it
+        opx, opy, opz = isect["px"], isect["py"], isect["pz"]
+        if has_glass:
+            took_refract_g = is_glass & ~choose_refl
+            pp = isect["push"]
+            opx = jnp.where(took_refract_g, opx + pp * ndirx, opx)
+            opy = jnp.where(took_refract_g, opy + pp * ndiry, opy)
+            opz = jnp.where(took_refract_g, opz + pp * ndirz, opz)
+
         if grad_mode:
             # per-path factor bookkeeping for analytic material grads:
             # each bounce multiplies the throughput by one of
@@ -788,9 +803,9 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             )
 
         out = dict(
-            ox=jnp.where(cont, isect["px"], st["ox"]),
-            oy=jnp.where(cont, isect["py"], st["oy"]),
-            oz=jnp.where(cont, isect["pz"], st["oz"]),
+            ox=jnp.where(cont, opx, st["ox"]),
+            oy=jnp.where(cont, opy, st["oy"]),
+            oz=jnp.where(cont, opz, st["oz"]),
             dx=jnp.where(cont, ndirx, st["dx"]),
             dy=jnp.where(cont, ndiry, st["dy"]),
             dz=jnp.where(cont, ndirz, st["dz"]),
@@ -1085,12 +1100,17 @@ def _pack_scene(scene):
     vel = scene.geoms.velocity
     if vel is None:
         vel = jnp.zeros((fwd.shape[0], 3), jnp.float32)
+    push = 5e-4 * jnp.max(
+        jnp.abs(jnp.asarray(scene.geoms.scale, jnp.float32)), axis=-1
+    )[:, None]
     gmat = jnp.concatenate([
         fwd[:, :3, :].reshape(-1, 12),
         inv[:, :3, :].reshape(-1, 12),
         inv_t[:, :3, :3].reshape(-1, 9),
-        jnp.asarray(vel, jnp.float32),   # rows 33..35 (motion blur)
-    ], axis=1)  # (G,36)
+        jnp.asarray(vel, jnp.float32),   # 33..35 (motion blur)
+        push,                            # 36 (transmission push epsilon)
+        jnp.zeros((fwd.shape[0], 3), jnp.float32),
+    ], axis=1)  # (G,40)
 
     tri = None
     if scene.mesh.count:
@@ -1114,7 +1134,8 @@ def _pack_scene(scene):
             jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
             mats[:, 11:17][tg],                    # 59..64 (checker+bump)
             jnp.asarray(tg, jnp.float32)[:, None], # 65 (geom idx)
-            jnp.zeros((t_count, 128 - 66), jnp.float32),
+            push[tg],                              # 66 (transmission push)
+            jnp.zeros((t_count, 128 - 67), jnp.float32),
         ], axis=1)  # (T,128)
     return cam, mats, gmat, tri
 
@@ -1283,6 +1304,10 @@ def _iteration_jit(scene, it, interpret, early_exit, features, nee=False):
     )
 
 
+def _sss_fallback(scene):
+    return scene.materials.sss_sigma is not None
+
+
 def pathtrace_iteration_pallas(scene, it, interpret=False,
                                early_exit=False, nee=False):
     """Drop-in Pallas replacement for render.integrator.pathtrace_iteration
@@ -1291,6 +1316,10 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
     including scene packing — eager packing ops cost a host round-trip
     each on the TPU tunnel.
     """
+    if _sss_fallback(scene):
+        from ...render.integrator import pathtrace_iteration
+
+        return pathtrace_iteration(scene, it, nee=nee)
     return _iteration_jit(
         scene, it, interpret, early_exit, _scene_features(scene), nee
     )
@@ -1305,6 +1334,10 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     Not itself jitted: scene feature flags are derived eagerly from the
     concrete scene, then everything runs under _batch_jit.
     """
+    if _sss_fallback(scene):
+        from ...render.integrator import pathtrace_batch
+
+        return pathtrace_batch(scene, it0, n_iters, remat=False, nee=nee)
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
         _scene_features(scene), nee,
@@ -1399,6 +1432,11 @@ def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
     if scene.materials.checker_scale is not None:
         raise NotImplementedError(
             "material_grads_pallas does not support CHECKER materials; "
+            "use render.diff.render_loss_and_grad"
+        )
+    if scene.materials.sss_sigma is not None:
+        raise NotImplementedError(
+            "material_grads_pallas does not support SSS materials; "
             "use render.diff.render_loss_and_grad"
         )
     grad_mats = (int(scene.materials.count),) + tuple(

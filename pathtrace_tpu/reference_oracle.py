@@ -42,6 +42,9 @@ def oracle_iteration(scene: Scene, it: int, nee: bool = False,
     )
     if scene.geoms.velocity is not None:
         state["time"] = rng.uniform(it_arr, pixel_ids, 0, Draw.TIME, xp=np)
+    if scene.materials.sss_sigma is not None:
+        state["med_sigma"] = np.zeros((n,), dtype=np.float32)
+        state["med_albedo"] = np.ones((n, 3), dtype=np.float32)
     if nee:
         state["emit_ok"] = np.ones((n,), dtype=bool)
     live_counts = []

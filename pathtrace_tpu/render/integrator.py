@@ -113,7 +113,7 @@ def _gather_material(materials, mid, xp=jnp):
     # xp.asarray: the table may be a closed-over numpy constant while
     # ``mid`` is traced (e.g. differentiating w.r.t. a param subset)
     g = lambda a: xp.asarray(a)[mid]
-    return dict(
+    out = dict(
         color=g(materials.color),
         spec_color=g(materials.spec_color),
         spec_exponent=g(materials.spec_exponent),
@@ -122,6 +122,10 @@ def _gather_material(materials, mid, xp=jnp):
         ior=g(materials.ior),
         emittance=g(materials.emittance),
     )
+    if materials.sss_sigma is not None:
+        out["sss_sigma"] = g(materials.sss_sigma)
+        out["sss_albedo"] = g(materials.sss_albedo)
+    return out
 
 
 def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
@@ -187,18 +191,66 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
         spec_u1=rng.uniform(it, pix, dep, Draw.SPEC_U1, xp=xp),
         spec_u2=rng.uniform(it, pix, dep, Draw.SPEC_U2, xp=xp),
     )
-    new_dir, thr_mult, took_diffuse = sample_bsdf(
+    new_dir, thr_mult, took_diffuse, took_refract = sample_bsdf(
         d, isect["normal"], isect["outside"], mat, u, xp=xp
     )
     cont = live & hit & ~emissive
 
+    sss = scene.materials.sss_sigma is not None
+    if sss:
+        # subsurface scattering: rays inside an SSS medium random-walk
+        # (exponential free paths, isotropic phase, albedo attenuation)
+        # until a sampled step reaches the exit surface, where the
+        # regular Fresnel interface takes over (README.md:112 extra)
+        in_med = state["med_sigma"] > 0.0
+        u_step = rng.uniform(it, pix, dep, Draw.SSS_STEP, xp=xp)
+        step = -xp.log(xp.maximum(1.0 - u_step, 1e-7)) / xp.maximum(
+            state["med_sigma"], 1e-8
+        )
+        scatter_inside = in_med & live & hit & (step < isect["dist"])
+
     if nee:
         radiance = radiance + _nee_direct(
             scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
-            state["throughput"], cont, time=state.get("time"), xp=xp,
+            state["throughput"],
+            cont & ~scatter_inside if sss else cont,
+            time=state.get("time"), xp=xp,
         )
 
     new_thr = state["throughput"] * thr_mult
+    # Transmission fix: the reference's getPointOnRay backs the hit
+    # point 1e-4 BEFORE the surface (src/intersections.h:26-28), which
+    # is correct for reflected/diffuse continuations but traps
+    # *refracted* rays — they re-intersect the same interface at ~0
+    # distance and re-refract in place forever.  Push transmitted rays
+    # past the interface along their new direction by a scale-aware
+    # epsilon (5e-4 x the geom's max |scale| covers the object-space
+    # backoff with margin while staying below thin-wall thickness).
+    push = (
+        5e-4
+        * xp.max(xp.abs(xp.asarray(scene.geoms.scale)), axis=-1)[
+            isect["geom_idx"]
+        ]
+    )
+    next_origin = xp.where(
+        took_refract[:, None],
+        isect["point"] + push[:, None] * new_dir,
+        isect["point"],
+    )
+    next_dir = new_dir
+    if sss:
+        zi = 1.0 - 2.0 * rng.uniform(it, pix, dep, Draw.SSS_U, xp=xp)
+        ri = xp.sqrt(xp.maximum(1.0 - zi * zi, 0.0))
+        phi = rng.uniform(it, pix, dep, Draw.SSS_V, xp=xp) * (2.0 * PI)
+        d_iso = xp.stack(
+            [ri * xp.cos(phi), ri * xp.sin(phi), zi], axis=-1
+        )
+        si3 = scatter_inside[:, None]
+        next_origin = xp.where(si3, o + step[:, None] * d, next_origin)
+        next_dir = xp.where(si3, d_iso, next_dir)
+        new_thr = xp.where(
+            si3, state["throughput"] * state["med_albedo"], new_thr
+        )
     if rr:
         # Russian roulette from bounce 3 on: kill with prob 1-p where
         # p tracks the surviving throughput, boost survivors by 1/p —
@@ -216,17 +268,37 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
 
     c3 = cont[:, None]
     out = dict(
-        origins=xp.where(c3, isect["point"], o),
-        dirs=xp.where(c3, new_dir, d),
+        origins=xp.where(c3, next_origin, o),
+        dirs=xp.where(c3, next_dir, d),
         throughput=xp.where(c3, new_thr, state["throughput"]),
         radiance=radiance,
         pixel=pix,
         live=cont,
     )
+    if sss:
+        at_surface = cont & ~scatter_inside
+        entering = (
+            at_surface & took_refract & (mat["sss_sigma"] > 0.0)
+            & isect["outside"]
+        )
+        exiting = at_surface & took_refract & in_med & ~isect["outside"]
+        out["med_sigma"] = xp.where(
+            entering, mat["sss_sigma"],
+            xp.where(exiting, 0.0, state["med_sigma"]),
+        )
+        out["med_albedo"] = xp.where(
+            entering[:, None], mat["sss_albedo"],
+            xp.where(exiting[:, None], 1.0, state["med_albedo"]),
+        )
     if "time" in state:
         out["time"] = state["time"]  # shutter time rides with the ray
     if nee:
-        out["emit_ok"] = ~took_diffuse
+        emit_ok = ~took_diffuse
+        if sss:
+            # interior scattering events sample no NEE, so the next
+            # BSDF-found emission must count
+            emit_ok = emit_ok | scatter_inside
+        out["emit_ok"] = emit_ok
     return out
 
 
@@ -389,6 +461,9 @@ def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",
     if scene.geoms.velocity is not None:
         # motion blur: one shutter-time per camera sample
         state["time"] = rng.uniform(it, pixel_ids, 0, Draw.TIME)
+    if scene.materials.sss_sigma is not None:
+        state["med_sigma"] = jnp.zeros((n,), dtype=jnp.float32)
+        state["med_albedo"] = jnp.ones((n, 3), dtype=jnp.float32)
     if nee:
         state["emit_ok"] = jnp.ones((n,), dtype=bool)
 

@@ -24,7 +24,10 @@ Extensions (all backwards compatible):
 * material line 8 (optional) ``CHECKER scale r g b`` — procedural
   object-space checker texture alternating the albedo with (r,g,b)
   (the texture-mapping extra, README.md:103; the reference's 7-line
-  material reader would skip this line harmlessly).
+  material reader would skip this line harmlessly); likewise
+  ``BUMP scale strength`` (bump mapping) and
+  ``SSS sigma ar ag ab`` (random-walk subsurface scattering inside a
+  refractive material, the README.md:112 extra).
 """
 
 from __future__ import annotations
@@ -104,6 +107,7 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                 has_refractive=0.0, ior=0.0, emittance=0.0,
                 checker_scale=0.0, checker_color=(0.0, 0.0, 0.0),
                 bump_scale=0.0, bump_strength=0.0,
+                sss_sigma=0.0, sss_albedo=(0.0, 0.0, 0.0),
             )
             for _ in range(7):  # exactly 7 property lines (src/scene.cpp:157)
                 t = (next_line() or "").split()
@@ -141,6 +145,12 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                     pos += 1
                     m["bump_scale"] = float(peek[1])
                     m["bump_strength"] = float(peek[2])
+                elif peek and peek[0] == "SSS" and len(peek) >= 5:
+                    pos += 1
+                    m["sss_sigma"] = float(peek[1])
+                    m["sss_albedo"] = (
+                        float(peek[2]), float(peek[3]), float(peek[4])
+                    )
                 else:
                     break
             materials.append(m)
@@ -271,6 +281,14 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         bump_strength=(
             np.asarray([m["bump_strength"] for m in materials], dtype=f32)
             if any(m["bump_strength"] for m in materials) else None
+        ),
+        sss_sigma=(
+            np.asarray([m["sss_sigma"] for m in materials], dtype=f32)
+            if any(m["sss_sigma"] for m in materials) else None
+        ),
+        sss_albedo=(
+            np.asarray([m["sss_albedo"] for m in materials], dtype=f32)
+            if any(m["sss_sigma"] for m in materials) else None
         ),
     )
     gs = T.Geoms(

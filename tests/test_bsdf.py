@@ -52,7 +52,7 @@ def test_diffuse_throughput_is_albedo():
     n = 64
     normal = np.tile(np.asarray([[0, 0, 1]], np.float32), (n, 1))
     wi = np.tile(np.asarray([[0, 0, -1]], np.float32), (n, 1))
-    out_dir, thr, _took = bsdf.sample_bsdf(
+    out_dir, thr, *_flags = bsdf.sample_bsdf(
         wi, normal, np.ones(n, bool), _mat(n), _draws(n), xp=np
     )
     np.testing.assert_allclose(thr, 0.8, atol=1e-6)
@@ -65,7 +65,7 @@ def test_perfect_mirror():
     wi = np.tile(
         np.asarray([[np.sqrt(0.5), 0, -np.sqrt(0.5)]], np.float32), (n, 1)
     )
-    out_dir, thr, _took = bsdf.sample_bsdf(
+    out_dir, thr, *_flags = bsdf.sample_bsdf(
         wi, normal, np.ones(n, bool), _mat(n, has_reflective=1.0),
         _draws(n), xp=np,
     )
@@ -79,7 +79,7 @@ def test_half_reflective_divides_by_probability():
     n = 100000
     normal = np.tile(np.asarray([[0, 0, 1]], np.float32), (n, 1))
     wi = np.tile(np.asarray([[0, 0, -1]], np.float32), (n, 1))
-    out_dir, thr, _took = bsdf.sample_bsdf(
+    out_dir, thr, *_flags = bsdf.sample_bsdf(
         wi, normal, np.ones(n, bool), _mat(n, has_reflective=0.5),
         _draws(n, seed=3), xp=np,
     )
@@ -99,7 +99,7 @@ def test_imperfect_specular_concentrates_with_exponent():
     mirror = np.asarray([0, 0, 1.0], np.float32)
     spreads = []
     for ex in [8.0, 128.0]:
-        out_dir, _, _took = bsdf.sample_bsdf(
+        out_dir, _, *_flags = bsdf.sample_bsdf(
             wi, normal, np.ones(n, bool),
             _mat(n, has_reflective=1.0, spec_exponent=ex),
             _draws(n, seed=4), xp=np,
@@ -119,7 +119,7 @@ def test_fresnel_glass_reflect_refract_split():
     wi = np.tile(
         np.asarray([[np.sqrt(0.5), 0, -np.sqrt(0.5)]], np.float32), (n, 1)
     )
-    out_dir, thr, _took = bsdf.sample_bsdf(
+    out_dir, thr, *_flags = bsdf.sample_bsdf(
         wi, normal, np.ones(n, bool),
         _mat(n, has_refractive=1.0, ior=1.5), _draws(n, seed=5), xp=np,
     )
@@ -145,7 +145,7 @@ def test_total_internal_reflection_falls_back_to_mirror():
     wi = np.tile(
         np.asarray([[np.sin(th), 0, -np.cos(th)]], np.float32), (n, 1)
     )
-    out_dir, thr, _took = bsdf.sample_bsdf(
+    out_dir, thr, *_flags = bsdf.sample_bsdf(
         wi, normal, np.zeros(n, bool),
         _mat(n, has_refractive=1.0, ior=1.5), _draws(n, seed=6), xp=np,
     )
