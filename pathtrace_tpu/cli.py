@@ -143,6 +143,9 @@ def main(argv=None) -> int:
         return out
 
     rays_total = 0
+    steady_rays = 0
+    steady_time = 0.0
+    first_chunk = True
     t_start = time.time()
     while done < n_iters:
         step = min(args.chunk, n_iters - done)
@@ -162,6 +165,11 @@ def main(argv=None) -> int:
         done += step
         segs = int(counts.sum())
         rays_total += segs
+        if first_chunk:
+            first_chunk = False  # compile-dominated; exclude from avg
+        else:
+            steady_rays += segs
+            steady_time += dt
         if args.stats:
             print(
                 json.dumps(
@@ -194,9 +202,14 @@ def main(argv=None) -> int:
             ckpt.save(args.checkpoint, accum, done, scene)
 
     wall = time.time() - t_start
+    steady = (
+        f", {steady_rays / steady_time / 1e6:.1f} Mrays/s steady-state"
+        if steady_time > 0 else ""
+    )
     print(
         f"[pathtrace_tpu] {done} iterations in {wall:.1f}s "
-        f"({rays_total / max(wall, 1e-9) / 1e6:.1f} Mrays/s avg)",
+        f"({rays_total / max(wall, 1e-9) / 1e6:.1f} Mrays/s avg"
+        f"{steady})",
         flush=True,
     )
     if args.checkpoint:
