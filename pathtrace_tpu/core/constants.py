@@ -16,3 +16,8 @@ RAY_OFFSET = 1e-4
 
 # Sentinel distance for "no hit" when reducing over geometries.
 NO_HIT = 1e30
+
+# Transmission push: refracted continuations advance past the interface
+# by this factor times the geom's max |scale| (must exceed the
+# object-space RAY_OFFSET backoff, stay below thin-wall thickness).
+TRANSMISSION_PUSH = 5e-4

@@ -42,7 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core import types as T
-from ...core.constants import NO_HIT, RAY_OFFSET, TWO_PI, SQRT_OF_ONE_THIRD, PI
+from ...core.constants import (
+    NO_HIT, RAY_OFFSET, TWO_PI, SQRT_OF_ONE_THIRD, PI,
+    TRANSMISSION_PUSH as T_PUSH,
+)
 from ...core.rng import Draw
 from ...render.integrator import camera_basis, geom_transforms
 
@@ -178,10 +181,13 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     it_ref: (1,1) SMEM int32 — iteration number.
     cam_ref: (1,16) VMEM f32 — pos(3) view(3) right(3) up(3) tanx tany
       aperture focal.
-    mats_ref: (G,16) VMEM f32 per-geom *gathered* material rows:
-      color(3) spec_color(3) spec_ex refl refr ior emit pad...
-    gmat_ref: (G,36) VMEM f32 per-geom transforms: fwd 3x4 (12),
-      inv 3x4 (12), invT 3x3 row-major (9) -> padded to 36.
+    mats_ref: (G,24) VMEM f32 per-geom *gathered* material rows:
+      color(3) spec_color(3) spec_ex refl refr ior emit | checker
+      scale+color (11..14) | bump scale+strength (15..16) | pad
+      (layout built in _pack_scene — extend there, not here).
+    gmat_ref: (G,40) VMEM f32 per-geom transforms: fwd 3x4 (0..11),
+      inv 3x4 (12..23), invT 3x3 (24..32), velocity (33..35),
+      transmission push (36), pad.
     tri_ref (only when n_tris > 0): (T, 128) VMEM f32 per-triangle rows
       [inv 3x4 | fwd 3x4 | invT 3x3 | v0 | e1 | e2 | n_obj | material
       row (11)] — triangles live in VMEM and fold via fori_loop, the
@@ -191,10 +197,11 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     counts_ref: (8, 128) VMEM i32 output; row 0, col d = live lanes
       entering bounce d (padded block to satisfy TPU tiling).
 
-    ``features`` = (has_glass, has_imperfect, has_dof): static scene
-    facts; sections whose materials/camera can never trigger are not
-    emitted at all (a scene-specialized kernel — the TPU version of
-    shader specialization).
+    ``features`` = (has_glass, has_imperfect, has_dof, has_motion,
+    has_checker, has_bump): static scene facts; sections whose
+    materials/camera can never trigger are not emitted at all (a
+    scene-specialized kernel — the TPU version of shader
+    specialization).
     """
     (has_glass, has_imperfect, has_dof, has_motion,
      has_checker, has_bump) = features
@@ -245,24 +252,32 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         oy = jnp.full((SUB, LANES), pos_y, jnp.float32)
         oz = jnp.full((SUB, LANES), pos_z, jnp.float32)
 
-        if not has_dof:
-            st = dict(
-                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-                tr=jnp.ones((SUB, LANES), jnp.float32),
-                tg=jnp.ones((SUB, LANES), jnp.float32),
-                tb=jnp.ones((SUB, LANES), jnp.float32),
-                rr=jnp.zeros((SUB, LANES), jnp.float32),
-                rg=jnp.zeros((SUB, LANES), jnp.float32),
-                rb=jnp.zeros((SUB, LANES), jnp.float32),
-                live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
+        if has_dof:
+            ox, oy, oz, dx, dy, dz = dof_offsets(
+                it_u, ox, oy, oz, dx, dy, dz
             )
-            if grad_mode:
-                for mm in range(n_mats):
-                    for kind in ("col", "spec", "emit", "dp", "d1p"):
-                        st[f"c_{kind}_{mm}"] = jnp.zeros(
-                            (SUB, LANES), jnp.float32
-                        )
-            return st
+
+        st = dict(
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+            tr=jnp.ones((SUB, LANES), jnp.float32),
+            tg=jnp.ones((SUB, LANES), jnp.float32),
+            tb=jnp.ones((SUB, LANES), jnp.float32),
+            rr=jnp.zeros((SUB, LANES), jnp.float32),
+            rg=jnp.zeros((SUB, LANES), jnp.float32),
+            rb=jnp.zeros((SUB, LANES), jnp.float32),
+            # f32 mask, not bool: Mosaic can't round-trip i1 vectors
+            # through lax.cond-carried state
+            live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
+        )
+        if grad_mode:
+            for mm in range(n_mats):
+                for kind in ("col", "spec", "emit", "dp", "d1p"):
+                    st[f"c_{kind}_{mm}"] = jnp.zeros(
+                        (SUB, LANES), jnp.float32
+                    )
+        return st
+
+    def dof_offsets(it_u, ox, oy, oz, dx, dy, dz):
         u1 = _uniform(it_u, pix_u, 0, Draw.DOF_U)
         u2 = _uniform(it_u, pix_u, 0, Draw.DOF_V)
         r_lens = aperture * jnp.sqrt(u1)
@@ -285,26 +300,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         dx = jnp.where(use_dof, ndx, dx)
         dy = jnp.where(use_dof, ndy, dy)
         dz = jnp.where(use_dof, ndz, dz)
-
-        st = dict(
-            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-            tr=jnp.ones((SUB, LANES), jnp.float32),
-            tg=jnp.ones((SUB, LANES), jnp.float32),
-            tb=jnp.ones((SUB, LANES), jnp.float32),
-            rr=jnp.zeros((SUB, LANES), jnp.float32),
-            rg=jnp.zeros((SUB, LANES), jnp.float32),
-            rb=jnp.zeros((SUB, LANES), jnp.float32),
-            # f32 mask, not bool: Mosaic can't round-trip i1 vectors
-            # through lax.cond-carried state
-            live=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
-        )
-        if grad_mode:
-            for mm in range(n_mats):
-                for kind in ("col", "spec", "emit", "dp", "d1p"):
-                    st[f"c_{kind}_{mm}"] = jnp.zeros(
-                        (SUB, LANES), jnp.float32
-                    )
-        return st
+        return ox, oy, oz, dx, dy, dz
 
     def trace_nearest(ox, oy, oz, dx, dy, dz, tpl):
         """Nearest hit over unrolled geoms (and VMEM triangles) for
@@ -390,6 +386,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 tmax = jnp.full((SUB, LANES), 1e38, jnp.float32)
                 nmin = [jnp.zeros((SUB, LANES), jnp.float32)] * 3
                 nmax = [jnp.zeros((SUB, LANES), jnp.float32)] * 3
+                nan_axis = jnp.zeros((SUB, LANES), jnp.bool_)
                 for ax, (qo, qd) in enumerate(
                     [(rox, rdx), (roy, rdy), (roz, rdz)]
                 ):
@@ -397,6 +394,10 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                     t2 = (0.5 - qo) / qd
                     ta = jnp.minimum(t1, t2)
                     tb = jnp.maximum(t1, t2)
+                    # 0/0 slabs (origin exactly on a face plane with a
+                    # zero direction component) produce NaN; _one_box's
+                    # min() propagates it into tmax -> miss, so match
+                    nan_axis = nan_axis | jnp.isnan(t1) | jnp.isnan(t2)
                     sign = jnp.where(t2 < t1, 1.0, -1.0)
                     upd_min = (ta > 0) & (ta > tmin)
                     tmin = jnp.where(upd_min, ta, tmin)
@@ -410,7 +411,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                         jnp.where(upd_max, sign if k == ax else 0.0, nmax[k])
                         for k in range(3)
                     ]
-                hit = (tmax >= tmin) & (tmax > 0)
+                hit = (tmax >= tmin) & (tmax > 0) & ~nan_axis
                 inside = tmin <= 0
                 t_use = jnp.where(inside, tmax, tmin)
                 nox = jnp.where(inside, nmax[0], nmin[0])
@@ -1100,7 +1101,7 @@ def _pack_scene(scene):
     vel = scene.geoms.velocity
     if vel is None:
         vel = jnp.zeros((fwd.shape[0], 3), jnp.float32)
-    push = 5e-4 * jnp.max(
+    push = T_PUSH * jnp.max(
         jnp.abs(jnp.asarray(scene.geoms.scale, jnp.float32)), axis=-1
     )[:, None]
     gmat = jnp.concatenate([
@@ -1231,6 +1232,10 @@ def _pack_lights(scene):
     12-20 fwd 3x3, 21-23 center, 24-32 invT 3x3 | 120-122 velocity."""
     from ...ops import lights as L
 
+    if not scene.light_indices:
+        # no emissive geoms: NEE contributes nothing — render plain
+        # (matches the jnp integrator's empty light loop)
+        return None, ()
     fwd, inv, inv_t = geom_transforms(scene.geoms)
     rows = []
     statics = []
@@ -1337,7 +1342,10 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     if _sss_fallback(scene):
         from ...render.integrator import pathtrace_batch
 
-        return pathtrace_batch(scene, it0, n_iters, remat=False, nee=nee)
+        rad, counts = pathtrace_batch(
+            scene, it0, n_iters, remat=False, nee=nee
+        )
+        return rad, jnp.sum(counts, axis=0)  # (depth,) like the kernel
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
         _scene_features(scene), nee,
@@ -1438,6 +1446,12 @@ def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
         raise NotImplementedError(
             "material_grads_pallas does not support SSS materials; "
             "use render.diff.render_loss_and_grad"
+        )
+    if scene.materials.count > 128:
+        raise NotImplementedError(
+            "material_grads_pallas supports at most 128 materials "
+            "(one gradient-table column per material); use "
+            "render.diff.render_loss_and_grad"
         )
     grad_mats = (int(scene.materials.count),) + tuple(
         int(x) for x in np.asarray(scene.geoms.material_id)

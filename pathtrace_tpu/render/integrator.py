@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..core import rng
 from ..core import vecmath as vm
-from ..core.constants import PI
+from ..core.constants import PI, TRANSMISSION_PUSH
 from ..core.rng import Draw
 from ..core.types import Scene, SPHERE
 from ..ops.bsdf import sample_bsdf
@@ -227,7 +227,7 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     # epsilon (5e-4 x the geom's max |scale| covers the object-space
     # backoff with margin while staying below thin-wall thickness).
     push = (
-        5e-4
+        TRANSMISSION_PUSH
         * xp.max(xp.abs(xp.asarray(scene.geoms.scale)), axis=-1)[
             isect["geom_idx"]
         ]

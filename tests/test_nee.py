@@ -171,6 +171,60 @@ class TestNEEGeometryGradients:
         assert np.isfinite(np.asarray(g["rotation"])).all()
 
 
+NO_LIGHT = """\
+MATERIAL 0
+RGB         .7 .7 .7
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+CAMERA
+RES         16 16
+FOVY        45
+ITERATIONS  4
+DEPTH       3
+FILE        dark
+EYE         0 0 8
+VIEW        0 0 -1
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 0 0
+ROTAT       0 0 0
+SCALE       2 2 2
+"""
+
+
+class TestZeroLights:
+    """NEE on a scene with no emissive geoms must degrade to the
+    plain render (the light loop is empty), not crash."""
+
+    def test_jnp_nee_no_lights(self):
+        s = pt.parse_scene(NO_LIGHT)
+        assert s.light_indices == ()
+        r_nee, _ = pt.pathtrace_iteration(s, 1, nee=True)
+        r_plain, _ = pt.pathtrace_iteration(s, 1)
+        np.testing.assert_array_equal(np.asarray(r_nee),
+                                      np.asarray(r_plain))
+
+    def test_pallas_nee_no_lights(self):
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_iteration_pallas,
+        )
+
+        s = pt.parse_scene(NO_LIGHT)
+        r_nee, _ = pathtrace_iteration_pallas(s, 1, interpret=True,
+                                              nee=True)
+        r_plain, _ = pathtrace_iteration_pallas(s, 1, interpret=True)
+        np.testing.assert_array_equal(np.asarray(r_nee),
+                                      np.asarray(r_plain))
+
+
 class TestNEEMegakernel:
     def test_pallas_nee_matches_jnp(self, cornell_scene):
         from pathtrace_tpu.ops.pallas.megakernel import (
