@@ -77,6 +77,9 @@ def main(argv=None) -> int:
     import pathtrace_tpu as pt
     from pathtrace_tpu.io import image_io
     from pathtrace_tpu.utils import checkpoint as ckpt
+    from pathtrace_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     scene = pt.load_scene(args.scene)
     if args.res:
@@ -142,6 +145,10 @@ def main(argv=None) -> int:
             print(f"[pathtrace_tpu] saved {hdr_out}", flush=True)
         return out
 
+    import jax
+    import jax.numpy as jnp
+
+    _add = jax.jit(jnp.add)
     rays_total = 0
     steady_rays = 0
     steady_time = 0.0
@@ -158,10 +165,13 @@ def main(argv=None) -> int:
                 compaction=args.compaction, remat=False, nee=args.nee,
                 rr=args.rr,
             )
-        rad = np.asarray(rad)
+        # Accumulate on device: transferring the full radiance buffer
+        # to host every chunk costs more than the render itself on a
+        # tunneled/PCIe link.  The (tiny) counts transfer below still
+        # forces the step to complete, keeping dt honest.
+        accum = _add(accum, rad)
         counts = np.asarray(counts)
         dt = time.time() - t0
-        accum += rad
         done += step
         segs = int(counts.sum())
         rays_total += segs
@@ -192,14 +202,16 @@ def main(argv=None) -> int:
                 flush=True,
             )
         if args.preview_every and done % args.preview_every < step:
-            img = image_io.to_display(accum, width, height, done)
+            img = image_io.to_display(
+                np.asarray(accum), width, height, done
+            )
             image_io.save_png(f"/tmp/{scene.image_name}.preview.png", img)
         if (
             args.checkpoint
             and args.checkpoint_every
             and done % args.checkpoint_every < step
         ):
-            ckpt.save(args.checkpoint, accum, done, scene)
+            ckpt.save(args.checkpoint, np.asarray(accum), done, scene)
 
     wall = time.time() - t_start
     steady = (
@@ -212,6 +224,7 @@ def main(argv=None) -> int:
         f"{steady})",
         flush=True,
     )
+    accum = np.asarray(accum)
     if args.checkpoint:
         ckpt.save(args.checkpoint, accum, done, scene)
     save_final(accum, done)
