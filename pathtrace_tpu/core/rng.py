@@ -61,10 +61,14 @@ def uniform(it, pixel, depth, draw, xp=jnp):
     """U[0,1) float32, a pure function of the (iter,pixel,depth,draw) counter.
 
     Uses the top 24 bits so the result is exactly representable in
-    float32 and never equals 1.0.
+    float32 and never equals 1.0.  The cast routes through int32 (the
+    24-bit value fits exactly) because Mosaic has no uint32->f32 vector
+    cast — this single function is the RNG for the jnp integrator, the
+    NumPy oracle, AND the Pallas megakernel (no duplicated stream).
     """
     bits = hash_u32(it, pixel, depth, draw, xp=xp)
-    return (bits >> xp.uint32(8)).astype("float32") * xp.float32(1.0 / 16777216.0)
+    top24 = (bits >> xp.uint32(8)).astype("int32")
+    return top24.astype("float32") * xp.float32(1.0 / 16777216.0)
 
 
 # Fixed draw-slot layout per (iter, pixel, depth) stream.  Depth slot 0

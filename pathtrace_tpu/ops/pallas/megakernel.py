@@ -55,48 +55,27 @@ TILE = SUB * LANES  # rays per tile (4096)
 
 
 # ----------------------------------------------------------------------------
-# in-kernel counter RNG (same stream as core/rng.py, on (SUB,128) planes)
+# in-kernel counter RNG: THE SAME function as core/rng.py (no duplicate
+# stream to drift) — core.rng routes its u32->f32 cast via int32, which
+# Mosaic supports, so the exact library code lowers inside the kernel.
 # ----------------------------------------------------------------------------
 
 def _u32(x):
     return x.astype(jnp.uint32)
 
 
-def _mix4(a, b, c, d):
-    k1 = jnp.uint32(1664525)
-    k2 = jnp.uint32(1013904223)
-    a = _u32(a * k1 + k2)
-    b = _u32(b * k1 + k2)
-    c = _u32(c * k1 + k2)
-    d = _u32(d * k1 + k2)
-    a = _u32(a + b * d)
-    b = _u32(b + c * a)
-    c = _u32(c + a * b)
-    d = _u32(d + b * c)
-    a = a ^ (a >> jnp.uint32(16))
-    b = b ^ (b >> jnp.uint32(16))
-    c = c ^ (c >> jnp.uint32(16))
-    d = d ^ (d >> jnp.uint32(16))
-    a = _u32(a + b * d)
-    b = _u32(b + c * a)
-    c = _u32(c + a * b)
-    d = _u32(d + b * c)
-    return a, d
-
-
 def _uniform(it_u32, pix_u32, depth, draw: int):
-    # ``depth`` may be a traced scalar (fori_loop index)
-    a, d = _mix4(
+    # ``depth`` may be a traced scalar (fori_loop index); broadcast both
+    # scalar counters to planes so every lane hashes its own 4-tuple.
+    from ...core import rng as _rng
+
+    return _rng.uniform(
         it_u32,
         pix_u32,
         jnp.full_like(pix_u32, depth).astype(jnp.uint32),
         jnp.full_like(pix_u32, jnp.uint32(draw)),
+        xp=jnp,
     )
-    bits = a ^ d
-    # Mosaic lacks uint32->f32; the top-24-bit value fits int32 exactly,
-    # so route through int32 (bit-identical to core/rng.uniform).
-    top24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
-    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
 # ----------------------------------------------------------------------------

@@ -46,3 +46,25 @@ def test_uniform_moments():
     # all 16 top-bit buckets populated evenly
     hist = np.bincount((u * 16).astype(np.int32), minlength=16)
     assert hist.min() > 0.9 * hist.mean()
+
+
+def test_megakernel_uniform_is_library_uniform():
+    """The megakernel's in-kernel RNG delegates to core.rng (one code
+    path, zero drift); assert bit-equality at the function level on
+    plane-shaped inputs (the round-1 failure mode was a hand-maintained
+    duplicate whose drift would show up only as image divergence)."""
+    from pathtrace_tpu.ops.pallas import megakernel as mk
+
+    pix = np.arange(mk.SUB * mk.LANES, dtype=np.int32).reshape(
+        mk.SUB, mk.LANES
+    )
+    for it, dep, draw in [(1, 0, 0), (123, 5, 3), (4999, 8, 17)]:
+        it_pl = jnp.full((mk.SUB, mk.LANES), it, jnp.int32).astype(
+            jnp.uint32
+        )
+        a = np.asarray(
+            jax.jit(lambda p: mk._uniform(it_pl, p.astype(jnp.uint32),
+                                          dep, draw))(pix)
+        )
+        b = rng.uniform(np.int32(it), pix, dep, draw, xp=np)
+        assert np.array_equal(a, b), (it, dep, draw)
