@@ -15,9 +15,9 @@ Sampling measure: uniform by surface area on the light primitive.
   instance transform, so its area |Mb × Mc| and geometric normal are
   exact for any (even skewed) transform.
 * Sphere lights: uniform direction on the unit sphere mapped through
-  the transform; the area/normal use the uniform-scale formula (exact
-  for uniformly scaled spheres — the only kind the scene format's
-  fixtures use; documented approximation otherwise).
+  the transform, weighted by the exact per-sample area Jacobian
+  pi |det M| |M^{-T} w| — unbiased for ANY transform, anisotropic and
+  skewed included (see :func:`sample_sphere_light`).
 
 All functions are xp-generic (jnp / numpy) like the rest of ops/.
 """
@@ -101,23 +101,36 @@ def sample_cube_light(fwd_g, u_sel, u, v, xp=jnp):
     return point, normal, total
 
 
+def sphere_det3(fwd_g, xp=jnp):
+    """|det| of the linear 3x3 part of a (4,4) transform."""
+    c0, c1, c2 = (_col(fwd_g, j, xp) for j in range(3))
+    det = xp.sum(c0 * vm.cross(c1, c2, xp=xp))
+    return xp.abs(det)
+
+
 def sample_sphere_light(fwd_g, inv_t_g, u, v, xp=jnp):
-    """Uniform point on a transformed sphere (r=0.5).  Exact for uniform
-    scale; area uses the mean-scale approximation otherwise."""
+    """Point on a transformed sphere (r=0.5) from a uniform unit-sphere
+    direction, with the EXACT per-sample inverse-pdf weight.
+
+    The map w in S^2 -> p = M(w/2) + t has world-space area element
+    dA = |det M| * |M^{-T} w| * (1/4) dOmega, so sampling w uniformly
+    gives pdf(p) = 1 / (pi |det M| |M^{-T} w|) per unit world area.
+    Returns (point (N,3), normal (N,3), weight (N,)) where
+    ``weight = 1/pdf = pi |det M| |M^{-T} w|`` — exact for ANY linear
+    transform (anisotropic/skewed included); for uniform scale s it
+    reduces to the sphere area pi s^2 = 4 pi (s/2)^2.
+    """
     z = 1.0 - 2.0 * u
     r = xp.sqrt(xp.maximum(1.0 - z * z, 0.0))
     phi = v * TWO_PI
     w = xp.stack([r * xp.cos(phi), r * xp.sin(phi), z], axis=-1)  # (N,3)
     p_obj = 0.5 * w
     point = vm.transform_point(fwd_g, p_obj, xp=xp)
-    normal = vm.normalize(
-        vm.transform_dir(inv_t_g, w, xp=xp), xp=xp, eps=1e-20
-    )
-    # mean world radius from the transform's column norms
-    cols = xp.stack([_col(fwd_g, j, xp) for j in range(3)])
-    s_mean = xp.mean(xp.sqrt(xp.sum(cols * cols, axis=-1)))
-    area = 4.0 * PI * (0.5 * s_mean) ** 2
-    return point, normal, area
+    n_raw = vm.transform_dir(inv_t_g, w, xp=xp)        # M^{-T} w
+    n_len = vm.norm(n_raw, xp=xp)[..., 0]
+    normal = n_raw / xp.maximum(n_len, 1e-20)[:, None]
+    weight = PI * sphere_det3(fwd_g, xp=xp) * n_len    # (N,)
+    return point, normal, weight
 
 
 def nee_contribution(point, normal, albedo, throughput, light_point,

@@ -835,7 +835,12 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 lnx = lr(24) * wx + lr(25) * wy + lr(26) * wz
                 lny = lr(27) * wx + lr(28) * wy + lr(29) * wz
                 lnz = lr(30) * wx + lr(31) * wy + lr(32) * wz
-                lnx, lny, lnz = _normalize3(lnx, lny, lnz)
+                # |M^{-T} w| BEFORE normalizing: the per-sample area
+                # Jacobian (exact for anisotropic lights; ops/lights)
+                n_len = jnp.sqrt(lnx * lnx + lny * lny + lnz * lnz)
+                w_area = jnp.float32(PI) * lr(33) * n_len
+                inv_nl = 1.0 / n_len
+                lnx, lny, lnz = lnx * inv_nl, lny * inv_nl, lnz * inv_nl
             else:
                 # cube: face by area-cdf, then (s,t) on the parallelogram
                 ss = u1 - 0.5
@@ -875,6 +880,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                     lny = jnp.where(mface, lr(nn_f + 1), lny)
                     lnz = jnp.where(mface, lr(nn_f + 2), lnz)
                     prev = hi
+                w_area = lr(5)  # exact total area (cube faces)
             if has_motion:
                 # moving light: shift sample point to the ray's time
                 lpx = lpx + tpl * lr(120)
@@ -902,7 +908,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             cos_l = jnp.maximum(
                 -(lnx * sdx + lny * sdy + lnz * sdz), 0.0
             )
-            gterm = cos_s * cos_l / r2_safe * lr(5)  # * total area
+            gterm = cos_s * cos_l / r2_safe * w_area  # * 1/pdf_area
             w_ok = has_diffuse & visible
             f_pi = jnp.float32(1.0 / PI)
             rr = rr + jnp.where(
@@ -1206,9 +1212,10 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
 def _pack_lights(scene):
     """(lights (L,128) f32, nee_lights static tuple ((geom_idx, type),…))
     for the in-kernel NEE loop.  Layout per row: 0 gidx | 1 type |
-    2-4 emission | 5 total area | cube: 6-11 area cdf, 12-29 face
+    2-4 emission | cube: 5 total area, 6-11 area cdf, 12-29 face
     origins, 30-47 e_b, 48-65 e_c, 66-83 outward normals | sphere:
-    12-20 fwd 3x3, 21-23 center, 24-32 invT 3x3 | 120-122 velocity."""
+    12-20 fwd 3x3, 21-23 center, 24-32 invT 3x3, 33 |det M3| (exact
+    per-sample area weight, ops/lights) | 120-122 velocity."""
     from ...ops import lights as L
 
     if not scene.light_indices:
@@ -1230,15 +1237,12 @@ def _pack_lights(scene):
         row = row.at[0].set(float(li)).at[1].set(float(ltype))
         row = row.at[2:5].set(emission)
         if ltype == T.SPHERE:
-            cols = fwd[li][:3, :3]
-            s_mean = jnp.mean(
-                jnp.sqrt(jnp.sum(cols * cols, axis=0))
-            )
-            area = 4.0 * jnp.float32(PI) * (0.5 * s_mean) ** 2
-            row = row.at[5].set(area)
             row = row.at[12:21].set(fwd[li][:3, :3].reshape(-1))
             row = row.at[21:24].set(fwd[li][:3, 3])
             row = row.at[24:33].set(inv_t[li][:3, :3].reshape(-1))
+            # |det M3| for the exact per-sample area weight
+            # pi |det| |M^{-T} w| (slot 33; see ops/lights)
+            row = row.at[33].set(L.sphere_det3(fwd[li], xp=jnp))
         else:
             tab = L.cube_light_tables(fwd[li])
             total = jnp.sum(tab["area"])

@@ -78,10 +78,45 @@ class TestLightSampling:
         )
         r = np.linalg.norm(pts - [1, 2, 3], axis=1)
         np.testing.assert_allclose(r, 1.0, atol=1e-5)  # radius 0.5*2
-        assert area == pytest.approx(4 * np.pi, rel=1e-5)
+        # uniform scale: the per-sample weight is the constant sphere area
+        np.testing.assert_allclose(area, 4 * np.pi, rtol=1e-5)
         # normals point radially outward
         out = (pts - [1, 2, 3]) / r[:, None]
         np.testing.assert_allclose(normals, out, atol=1e-4)
+
+    def test_sphere_sampling_anisotropic_exact(self):
+        """Non-uniformly scaled sphere light: the per-sample inverse-pdf
+        weight must integrate to the true ellipsoid surface area (the
+        round-1 mean-scale approximation was biased here)."""
+        from pathtrace_tpu.core import vecmath as vm
+
+        scale = np.asarray([1.0, 2.0, 3.0], np.float32)
+        zero = np.zeros(3, np.float32)
+        fwd = vm.trs_matrix(zero, zero, scale, xp=np)
+        inv = vm.trs_inverse(zero, zero, scale, xp=np)
+        n = 400000
+        rs = np.random.RandomState(2)
+        pts, normals, w = L.sample_sphere_light(
+            fwd, np.swapaxes(inv, -1, -2),
+            rs.rand(n).astype(np.float32), rs.rand(n).astype(np.float32),
+            xp=np,
+        )
+        # E[weight] over uniform unit-sphere directions = ellipsoid area
+        a, b, c = 0.5 * scale  # semi-axes
+        p = 1.6075  # Knud Thomsen approximation (~0.1% accurate)
+        area_ref = 4 * np.pi * (
+            ((a * b) ** p + (a * c) ** p + (b * c) ** p) / 3
+        ) ** (1 / p)
+        assert w.mean() == pytest.approx(area_ref, rel=0.01)
+        # points lie on the ellipsoid; normals match the analytic
+        # ellipsoid normal (x/a^2, y/b^2, z/c^2)
+        q = pts / (0.5 * scale)[None]
+        np.testing.assert_allclose(
+            np.linalg.norm(q, axis=1), 1.0, atol=1e-5
+        )
+        n_ref = pts / (0.5 * scale[None]) ** 2
+        n_ref /= np.linalg.norm(n_ref, axis=1, keepdims=True)
+        np.testing.assert_allclose(normals, n_ref, atol=1e-4)
 
 
 class TestNEEUnbiased:
@@ -270,3 +305,73 @@ class TestNEEMegakernel:
         m_nee = float(np.asarray(a).mean()) / 24
         m_pt = float(np.asarray(b).mean()) / 192
         assert m_nee == pytest.approx(m_pt, rel=0.15)
+
+
+ANISO_LIGHT = """\
+MATERIAL 0
+RGB         1 1 1
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   4
+
+MATERIAL 1
+RGB         .6 .6 .6
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+CAMERA
+RES         16 16
+FOVY        45
+ITERATIONS  8
+DEPTH       3
+FILE        aniso
+EYE         0 1 6
+VIEW        0 0 -1
+UP          0 1 0
+
+OBJECT 0
+sphere
+material 0
+TRANS       0 4 0
+ROTAT       0 30 0
+SCALE       1 2.5 0.6
+
+OBJECT 1
+cube
+material 1
+TRANS       0 -1 0
+ROTAT       0 0 0
+SCALE       8 .2 8
+"""
+
+
+class TestAnisotropicSphereLightNEE:
+    """End-to-end: an anisotropically scaled (and rotated) sphere light
+    must render unbiased under NEE — exact per-sample weight, not the
+    round-1 mean-scale approximation."""
+
+    def test_nee_matches_plain_render(self):
+        s = pt.parse_scene(ANISO_LIGHT)
+        rad_nee, _ = pt.pathtrace_batch(s, 1, 64, nee=True, remat=False)
+        rad_pt, _ = pt.pathtrace_batch(s, 1, 512, remat=False)
+        m_nee = float(np.asarray(rad_nee).mean()) / 64
+        m_pt = float(np.asarray(rad_pt).mean()) / 512
+        assert m_nee == pytest.approx(m_pt, rel=0.1)
+
+    def test_pallas_matches_jnp(self):
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_iteration_pallas,
+        )
+
+        s = pt.parse_scene(ANISO_LIGHT)
+        rp, _ = pathtrace_iteration_pallas(s, 1, interpret=True, nee=True)
+        rj, _ = pt.pathtrace_iteration(s, 1, nee=True)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(axis=-1)
+        assert (d > 1e-3).mean() < 0.01
