@@ -125,7 +125,7 @@ def render_pixel_sharded(scene: Scene, it0: int, n_iters: int,
 
 
 def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
-                                 mesh: Mesh):
+                                 mesh: Mesh, interpret: bool = False):
     """Sample-sharded rendering with the Pallas megakernel inside the
     mesh: each device runs its slice of the spp batch through the
     in-kernel spp loop, then one image psum over ICI.  The megakernel
@@ -133,7 +133,9 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     the counter RNG keyed on (iter, pixel) makes the result identical
     to a single-device render of the same iterations.
 
-    Requires a TPU mesh (the kernel has no compiled CPU path).
+    Requires a TPU mesh (the kernel has no compiled CPU path) unless
+    ``interpret=True``, which runs the kernel in Pallas interpret mode —
+    the way the CPU-mesh tests exercise this exact sharded program.
     ``n_iters`` must be a multiple of the mesh size.
     """
     from ..ops.pallas.megakernel import _batch_jit, _scene_features
@@ -147,7 +149,7 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
 
     def body(scene, it0_local):
         rad, counts = _batch_jit(
-            scene, it0_local[0], per_dev, False, False, features
+            scene, it0_local[0], per_dev, interpret, False, features
         )
         return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
 
