@@ -151,72 +151,42 @@ def _bump_perturb(nx, ny, nz, qx, qy, qz, bs, bk,
     )
 
 
-def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
-            width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True,) * 6, nee_lights=(), grad_mats=(),
-            early_exit=False):
-    """One ray tile, full trace.
+def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
+                 height, depth, n_tris=0, features=(True,) * 6,
+                 nee_lights=(), grad_mats=(), early_exit=False,
+                 pix_u=None, fx=None, fy=None, valid=None, mode="fwd"):
+    """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
+    -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
-    it_ref: (1,1) SMEM int32 — iteration number.
-    cam_ref: (1,16) VMEM f32 — pos(3) view(3) right(3) up(3) tanx tany
-      aperture focal.
-    mats_ref: (G,24) VMEM f32 per-geom *gathered* material rows:
-      color(3) spec_color(3) spec_ex refl refr ior emit | checker
-      scale+color (11..14) | bump scale+strength (15..16) | pad
-      (layout built in _pack_scene — extend there, not here).
-    gmat_ref: (G,40) VMEM f32 per-geom transforms: fwd 3x4 (0..11),
-      inv 3x4 (12..23), invT 3x3 (24..32), velocity (33..35),
-      transmission push (36), pad.
-    tri_ref (only when n_tris > 0): (T, 128) VMEM f32 per-triangle rows
-      [inv 3x4 | fwd 3x4 | invT 3x3 | v0 | e1 | e2 | n_obj | material
-      row (11)] — triangles live in VMEM and fold via fori_loop, the
-      Pallas answer to mesh scenes (the XLA scan-fold pays ~26 full
-      HBM wavefront passes per bounce; here it's all on-chip).
-    rad_*_ref: (SUB,128) VMEM f32 outputs (radiance planes).
-    counts_ref: (8, 128) VMEM i32 output; row 0, col d = live lanes
-      entering bounce d (padded block to satisfy TPU tiling).
+    ``cam``/``mats``/``gmat``/``tri``/``lights`` may be Pallas VMEM refs
+    (the forward kernel — indexed reads stay zero-copy) or loaded jnp
+    arrays: the reverse-mode kernel loads the tables once and lets
+    ``jax.vjp`` differentiate straight through this function, so the
+    SAME trace code serves forward and backward (no hand-written
+    adjoint to drift).
 
-    ``features`` = (has_glass, has_imperfect, has_dof, has_motion,
-    has_checker, has_bump): static scene facts; sections whose
-    materials/camera can never trigger are not emitted at all (a
-    scene-specialized kernel — the TPU version of shader
-    specialization).
+    ``mode='fwd'`` runs the depth loop as ``fori_loop`` (cheapest to
+    compile) with per-bounce live-count metrics; ``mode='vjp'`` runs it
+    as ``lax.scan`` over a ``jax.checkpoint``-ed bounce body — reverse-
+    differentiable, with only the carried ray state saved per bounce
+    (everything else recomputes during the backward sweep, all in VMEM).
     """
     (has_glass, has_imperfect, has_dof, has_motion,
      has_checker, has_bump) = features
     nee = bool(nee_lights)
-    grad_mode = bool(grad_mats)   # grad_mats = (M, geom->material map…)
+    grad_mode = bool(grad_mats)   # grad_mats = (M, geom->material map)
     n_mats = grad_mats[0] if grad_mode else 0
     mat_of_geom = grad_mats[1:] if grad_mode else ()
-    rest = list(rest)
-    tri_ref = rest.pop(0) if n_tris else None
-    lights_ref = rest.pop(0) if nee else None
-    if grad_mode:
-        mtab_ref = rest.pop(0)     # (M,8): color3 spec3 emit refl
-        ct_r_ref = rest.pop(0)     # cotangent planes (tile blocks)
-        ct_g_ref = rest.pop(0)
-        ct_b_ref = rest.pop(0)
-        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref, gtab_ref = rest
-    else:
-        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
-    tile = pl.program_id(0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-    pixel = (tile * SUB + row) * LANES + lane          # global flat id
-    valid = pixel < n_pixels
-    pix_u = _u32(pixel)
+    tri_ref = tri        # inner code keeps the _ref names (ref or value)
+    lights_ref = lights
 
-    c = lambda k: cam_ref[0, k]
+    c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
     v_x, v_y, v_z = c(3), c(4), c(5)
     r_x, r_y, r_z = c(6), c(7), c(8)
     u_x, u_y, u_z = c(9), c(10), c(11)
     tan_x, tan_y = c(12), c(13)
     aperture, focal = c(14), c(15)
-
-    # ---- raygen (AA jitter + thin-lens DoF), matching integrator.raygen
-    fx = (pixel % width).astype(jnp.float32)
-    fy = (pixel // width).astype(jnp.float32)
 
     def raygen_state(it_u):
         ujx = _uniform(it_u, pix_u, 0, Draw.AA_X)
@@ -312,7 +282,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         for g, gtype in enumerate(geom_types):
             if gtype == T.MESH:
                 continue
-            m = lambda k: gmat_ref[g, k]
+            m = lambda k: gmat[g, k]
             # motion blur: shift the ray origin back by t * velocity
             # (translation-only motion; ops/intersect.py)
             if has_motion:
@@ -420,7 +390,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
 
             better = dist < best["dist"]
-            mt = lambda k: mats_ref[g, k]
+            mt = lambda k: mats[g, k]
             sel = lambda a, b: jnp.where(better, a, b)
             if has_bump:
                 nx0, ny0, nz0 = _bump_perturb(
@@ -454,7 +424,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                             best["outside"]),
                 gidx=sel(jnp.full((SUB, LANES), float(g), jnp.float32),
                          best["gidx"]),
-                push=sel(jnp.full((SUB, LANES), gmat_ref[g, 36],
+                push=sel(jnp.full((SUB, LANES), gmat[g, 36],
                                   jnp.float32), best["push"]),
                 mc_r=sel(al_r, best["mc_r"]), mc_g=sel(al_g, best["mc_g"]),
                 mc_b=sel(al_b, best["mc_b"]),
@@ -922,28 +892,37 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             )
         return rr, rg, rb
 
-    # ---- the bounce loop (fori_loop: one traced body instead of
-    # ``depth`` unrolled copies — Mosaic compile time scales with code
-    # size, and the unrolled 8x7 intersect+shade body took minutes).
     # counts are accumulated as a one-hot plane (scalar VMEM stores are
     # not supported by Mosaic): row 0, col d holds bounce d's live count
     crow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
-    def one_sample(sidx, acc):
-        """Full trace of one sample per pixel, accumulating in VMEM —
-        the in-kernel spp loop amortizes the radiance writeback across
-        samples (HBM traffic per ray per sample: zero)."""
-        acc_r, acc_g, acc_b, counts_acc = acc[:4]
-        it_u = _u32(
-            jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
-        )
+    def trace_one(it_u, counts_acc):
+        """One sample's full trace: raygen -> depth loop.  Returns the
+        final state (radiance in rr/rg/rb) and the updated live-count
+        accumulator (fwd mode; vjp mode passes counts through)."""
         state = raygen_state(it_u)
         if nee:
             state["emit_ok"] = jnp.ones((SUB, LANES), jnp.float32)
         if has_motion:
             # shutter-time per camera sample (motion blur)
             state["time"] = _uniform(it_u, pix_u, 0, Draw.TIME)
+
+        if mode == "vjp":
+            # Reverse-differentiable depth loop: scan over a
+            # checkpointed bounce — the backward sweep recomputes each
+            # bounce from its carried ray state instead of storing the
+            # whole trace (remat, VMEM-resident end to end).
+            def body(carry, _):
+                st, d = carry
+                isect = intersect(st)
+                return (shade(st, isect, d, it_u), d + 1), None
+
+            (state, _d), _ = jax.lax.scan(
+                jax.checkpoint(body), (state, jnp.int32(0)), None,
+                length=depth,
+            )
+            return state, counts_acc
 
         def depth_body(d, carry):
             st, counts_acc = carry
@@ -965,6 +944,82 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         state, counts_acc = jax.lax.fori_loop(
             0, depth, depth_body, (state, counts_acc)
         )
+        return state, counts_acc
+
+    return trace_one
+
+
+def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
+            width, height, depth, n_pixels, n_tris=0, n_spp=1,
+            features=(True,) * 6, nee_lights=(), grad_mats=(),
+            early_exit=False):
+    """One ray tile, full trace.
+
+    it_ref: (1,1) SMEM int32 — iteration number.
+    cam_ref: (1,16) VMEM f32 — pos(3) view(3) right(3) up(3) tanx tany
+      aperture focal.
+    mats_ref: (G,24) VMEM f32 per-geom *gathered* material rows:
+      color(3) spec_color(3) spec_ex refl refr ior emit | checker
+      scale+color (11..14) | bump scale+strength (15..16) | pad
+      (layout built in _pack_scene — extend there, not here).
+    gmat_ref: (G,40) VMEM f32 per-geom transforms: fwd 3x4 (0..11),
+      inv 3x4 (12..23), invT 3x3 (24..32), velocity (33..35),
+      transmission push (36), pad.
+    tri_ref (only when n_tris > 0): (T, 128) VMEM f32 per-triangle rows
+      [inv 3x4 | fwd 3x4 | invT 3x3 | v0 | e1 | e2 | n_obj | material
+      row (11)] — triangles live in VMEM and fold via fori_loop, the
+      Pallas answer to mesh scenes (the XLA scan-fold pays ~26 full
+      HBM wavefront passes per bounce; here it's all on-chip).
+    rad_*_ref: (SUB,128) VMEM f32 outputs (radiance planes).
+    counts_ref: (8, 128) VMEM i32 output; row 0, col d = live lanes
+      entering bounce d (padded block to satisfy TPU tiling).
+
+    ``features`` = (has_glass, has_imperfect, has_dof, has_motion,
+    has_checker, has_bump): static scene facts; sections whose
+    materials/camera can never trigger are not emitted at all (a
+    scene-specialized kernel — the TPU version of shader
+    specialization).
+    """
+    nee = bool(nee_lights)
+    grad_mode = bool(grad_mats)
+    n_mats = grad_mats[0] if grad_mode else 0
+    rest = list(rest)
+    tri_ref = rest.pop(0) if n_tris else None
+    lights_ref = rest.pop(0) if nee else None
+    if grad_mode:
+        mtab_ref = rest.pop(0)     # (M,8): color3 spec3 emit refl
+        ct_r_ref = rest.pop(0)     # cotangent planes (tile blocks)
+        ct_g_ref = rest.pop(0)
+        ct_b_ref = rest.pop(0)
+        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref, gtab_ref = rest
+    else:
+        rad_r_ref, rad_g_ref, rad_b_ref, counts_ref = rest
+    tile = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    pixel = (tile * SUB + row) * LANES + lane          # global flat id
+    valid = pixel < n_pixels
+    pix_u = _u32(pixel)
+
+    fx = (pixel % width).astype(jnp.float32)
+    fy = (pixel // width).astype(jnp.float32)
+    trace_one = _make_tracer(
+        cam_ref, mats_ref, gmat_ref, tri_ref, lights_ref,
+        geom_types=geom_types, width=width, height=height, depth=depth,
+        n_tris=n_tris, features=features, nee_lights=nee_lights,
+        grad_mats=grad_mats, early_exit=early_exit, pix_u=pix_u,
+        fx=fx, fy=fy, valid=valid, mode="fwd",
+    )
+
+    def one_sample(sidx, acc):
+        """Full trace of one sample per pixel, accumulating in VMEM —
+        the in-kernel spp loop amortizes the radiance writeback across
+        samples (HBM traffic per ray per sample: zero)."""
+        acc_r, acc_g, acc_b, counts_acc = acc[:4]
+        it_u = _u32(
+            jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
+        )
+        state, counts_acc = trace_one(it_u, counts_acc)
         out = (acc_r + state["rr"], acc_g + state["rg"],
                acc_b + state["rb"], counts_acc)
         if grad_mode:
