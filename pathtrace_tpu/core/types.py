@@ -66,6 +66,10 @@ class Materials:
     # interface; random-walk subsurface scattering; 0 = off)
     sss_sigma: Any = None       # (M,) scattering coefficient (1/units)
     sss_albedo: Any = None      # (M, 3) single-scattering albedo
+    # image bump-map extension (BUMPTEX): height-gradient normal
+    # perturbation strength per material (texture index is static
+    # structure — Scene.bump_texture_ids)
+    bumptex_strength: Any = None  # (M,)
 
     @property
     def count(self):
@@ -109,6 +113,8 @@ class TriMesh:
 
     tri_verts: Any  # (T, 3, 3)
     tri_geom: Any   # (T,) int32
+    tri_uv: Any = None  # (T, 3, 2) per-corner texture coords (OBJ vt);
+                        # None = no UVs (barycentric fallback)
 
     @property
     def count(self):
@@ -133,7 +139,7 @@ class Camera:
 
 @_pytree(
     meta=("resolution", "trace_depth", "iterations", "image_name",
-          "light_indices")
+          "light_indices", "texture_ids", "bump_texture_ids")
 )
 class Scene:
     """Full scene: parameter pytree + static render settings.
@@ -154,6 +160,14 @@ class Scene:
     iterations: int
     image_name: str
     light_indices: tuple = ()
+    # image textures (TEXTURE/BUMPTEX extension, PBRT 10.4/9.3 per
+    # README.md:103-106): ``textures`` is a tuple of (H,W,3) f32 arrays
+    # (data leaves — texture texels are differentiable);  which texture
+    # a material samples is scene *structure*, so the per-material
+    # index tuples (-1 = none, length M) are static metadata.
+    textures: Any = ()
+    texture_ids: tuple = ()       # albedo map per material
+    bump_texture_ids: tuple = ()  # height map per material
 
     @property
     def width(self):

@@ -129,6 +129,8 @@ def parse_scene_native(path: Optional[str] = None,
     if path is not None:
         h = lib.pt_parse_scene_file(os.fspath(path).encode())
         base_dir = os.path.dirname(os.path.abspath(path))
+        with open(path, "r") as f:
+            text = f.read()
     else:
         h = lib.pt_parse_scene_text(text.encode())
     try:
@@ -189,7 +191,8 @@ def parse_scene_native(path: Optional[str] = None,
         )
         image_name = lib.pt_scene_image_name(h).decode()
 
-        mesh_tris, mesh_geom_ids = [], []
+        mesh_tris, mesh_uvs, mesh_geom_ids = [], [], []
+        any_uv = False
         for gi in range(g):
             if gtype[gi] == T.MESH:
                 p = lib.pt_scene_mesh_path(h, gi)
@@ -197,6 +200,18 @@ def parse_scene_native(path: Optional[str] = None,
                 if not os.path.isabs(p):
                     p = os.path.join(base_dir, p)
                 tris = load_obj_native(p)
+                # vt coords come from the Python loader (the native one
+                # emits vertices only); geometry stays native-parsed
+                from ..scene.obj import load_obj as load_obj_py
+
+                _, uvs = load_obj_py(p)
+                if uvs is not None:
+                    any_uv = True
+                    mesh_uvs.append(uvs)
+                else:
+                    mesh_uvs.append(
+                        np.zeros((tris.shape[0], 3, 2), np.float32)
+                    )
                 mesh_tris.append(tris)
                 mesh_geom_ids.append(
                     np.full((tris.shape[0],), gi, np.int32)
@@ -205,6 +220,9 @@ def parse_scene_native(path: Optional[str] = None,
             T.TriMesh(
                 tri_verts=np.concatenate(mesh_tris, 0),
                 tri_geom=np.concatenate(mesh_geom_ids, 0),
+                tri_uv=(
+                    np.concatenate(mesh_uvs, 0) if any_uv else None
+                ),
             )
             if mesh_tris
             else T.empty_mesh()
@@ -213,7 +231,7 @@ def parse_scene_native(path: Optional[str] = None,
         light_indices = tuple(
             int(i) for i in range(g) if emit[gmat[i]] > 0
         )
-        return T.Scene(
+        scene = T.Scene(
             materials=T.Materials(
                 color=color, spec_exponent=spec_ex, spec_color=spec_c,
                 has_reflective=refl, has_refractive=refr, ior=ior,
@@ -243,6 +261,12 @@ def parse_scene_native(path: Optional[str] = None,
             image_name=image_name,
             light_indices=light_indices,
         )
+        # TEXTURE/BUMPTEX semantics come from the same shared post-pass
+        # as the Python parser (scene/textures.attach_textures) — the
+        # C++ parser only skips those lines for block alignment
+        from ..scene.textures import attach_textures
+
+        return attach_textures(scene, text, base_dir=base_dir)
     finally:
         lib.pt_scene_free(h)
 

@@ -166,6 +166,12 @@ ParsedScene* parse_text(const std::string& text) {
           m.sss_albedo[0] = tof(peek[2]);
           m.sss_albedo[1] = tof(peek[3]);
           m.sss_albedo[2] = tof(peek[4]);
+        } else if (!peek.empty() &&
+                   (peek[0] == "TEXTURE" || peek[0] == "BUMPTEX")) {
+          // image-texture lines: consumed for block alignment only;
+          // semantics live in the shared Python post-pass
+          // (scene/textures.attach_textures) for both parsers
+          ++pos;
         } else {
           break;
         }

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.constants import NO_HIT, RAY_OFFSET
+from ..core.constants import NO_HIT, PI, RAY_OFFSET
 from ..core import vecmath as vm
 from ..core import types as T
 
@@ -198,7 +198,7 @@ def intersect_triangles(origins, dirs, tri_verts, tri_geom, fwd, inv, inv_t,
 
 def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
                     tri_verts=None, tri_geom=None, velocity=None,
-                    time=None, xp=jnp):
+                    time=None, tri_uv=None, want_uv=False, xp=jnp):
     """Nearest hit over all geoms (and mesh triangles if present).
 
     Returns a dict with per-ray fields: ``dist`` (N,), ``hit`` (N,) bool,
@@ -221,17 +221,26 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
         outside=xp.zeros((n,), dtype=bool),
         geom_idx=xp.zeros((n,), dtype=xp.int32),
     )
+    if want_uv:
+        best["uv"] = xp.zeros((n, 2), dtype=origins.dtype)
 
-    def fold(best, d, p, nr, o, gidx):
+    def fold(best, d, p, nr, o, gidx, uv=None):
         better = d < best["dist"]
         b3 = better[:, None]
-        return dict(
+        out = dict(
             dist=xp.where(better, d, best["dist"]),
             point=xp.where(b3, p, best["point"]),
             normal=xp.where(b3, nr, best["normal"]),
             outside=xp.where(better, o, best["outside"]),
             geom_idx=xp.where(better, gidx, best["geom_idx"]),
         )
+        if want_uv:
+            out["uv"] = xp.where(
+                better[:, None],
+                uv if uv is not None else xp.zeros((n, 2), origins.dtype),
+                best["uv"],
+            )
+        return out
 
     types = [int(t) for t in geom_type]  # static scene structure
 
@@ -250,19 +259,25 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
         if velocity is not None:
             o_g = origins - time[:, None] * velocity[g][None]
         if types[g] == T.SPHERE:
-            d, p, nr, o = _one_sphere(
-                o_g, dirs, fwd[g], inv[g], inv_t[g], xp=xp
+            res = _one_sphere(
+                o_g, dirs, fwd[g], inv[g], inv_t[g], xp=xp,
+                want_uv=want_uv,
             )
         else:
-            d, p, nr, o = _one_box(o_g, dirs, fwd[g], inv[g], xp=xp)
+            res = _one_box(o_g, dirs, fwd[g], inv[g], xp=xp,
+                           want_uv=want_uv)
+        d, p, nr, o = res[:4]
+        uv = res[4] if want_uv else None
         if velocity is not None:
             p = p + time[:, None] * velocity[g][None]
-        best = fold(best, d, p, nr, o, xp.full((n,), g, dtype=xp.int32))
+        best = fold(best, d, p, nr, o,
+                    xp.full((n,), g, dtype=xp.int32), uv)
 
     if tri_verts is not None and tri_verts.shape[0] > 0:
         best = _fold_triangles(
             best, fold, origins, dirs, tri_verts, tri_geom, fwd, inv,
-            inv_t, velocity=velocity, time=time, xp=xp,
+            inv_t, velocity=velocity, time=time, tri_uv=tri_uv,
+            want_uv=want_uv, xp=xp,
         )
 
     best["hit"] = best["dist"] < NO_HIT
@@ -283,9 +298,14 @@ def _mat3_rows(m4, v, xp=jnp, translate=False):
     return out
 
 
-def _one_box(origins, dirs, fwd_g, inv_g, xp=jnp):
+def _one_box(origins, dirs, fwd_g, inv_g, xp=jnp, want_uv=False):
     """Slab test vs one unit cube; all temps (N,3)/(N,).  Same
-    semantics as intersect_boxes (src/intersections.h:47-89)."""
+    semantics as intersect_boxes (src/intersections.h:47-89).
+
+    ``want_uv`` appends a (N,2) face-planar UV (texture-mapping extra,
+    README.md:103): the hit face is the dominant axis of the object
+    normal; the other two object coords (+0.5) are (u,v) —
+    x-faces -> (z,y), y-faces -> (x,z), z-faces -> (x,y)."""
     ro = _mat3_rows(inv_g, origins, xp=xp, translate=True)
     rd = vm.normalize(_mat3_rows(inv_g, dirs, xp=xp), xp=xp)
 
@@ -320,12 +340,23 @@ def _one_box(origins, dirs, fwd_g, inv_g, xp=jnp):
     # quirk preserved: box normal via the FORWARD transform (:85)
     normal = vm.normalize(_mat3_rows(fwd_g, n_obj, xp=xp), xp=xp)
     dist = vm.norm(origins - point, xp=xp)[..., 0]
-    return xp.where(hit, dist, NO_HIT), point, normal, outside
+    out = (xp.where(hit, dist, NO_HIT), point, normal, outside)
+    if want_uv:
+        axis = xp.where(inside, far_axis, near_axis)
+        px, py, pz = p_obj[:, 0], p_obj[:, 1], p_obj[:, 2]
+        u = xp.where(axis == 0, pz, px) + 0.5
+        v = xp.where(axis == 1, pz, py) + 0.5
+        out = out + (xp.stack([u, v], axis=-1),)
+    return out
 
 
-def _one_sphere(origins, dirs, fwd_g, inv_g, inv_t_g, xp=jnp):
+def _one_sphere(origins, dirs, fwd_g, inv_g, inv_t_g, xp=jnp,
+                want_uv=False):
     """Quadratic test vs one unit sphere; all temps (N,3)/(N,).
-    Same semantics as intersect_spheres (src/intersections.h:101-143)."""
+    Same semantics as intersect_spheres (src/intersections.h:101-143).
+
+    ``want_uv`` appends a (N,2) spherical UV on the radius-0.5 unit
+    sphere: u = 0.5 + atan2(z,x)/2pi, v = 0.5 + asin(2y)/pi."""
     ro = _mat3_rows(inv_g, origins, xp=xp, translate=True)
     rd = vm.normalize(_mat3_rows(inv_g, dirs, xp=xp), xp=xp)
 
@@ -349,11 +380,20 @@ def _one_sphere(origins, dirs, fwd_g, inv_g, inv_t_g, xp=jnp):
     )
     normal = xp.where(outside_raw[:, None], normal, -normal)
     dist = vm.norm(origins - point, xp=xp)[..., 0]
-    return xp.where(hit, dist, NO_HIT), point, normal, hit & outside_raw
+    out = (xp.where(hit, dist, NO_HIT), point, normal,
+           hit & outside_raw)
+    if want_uv:
+        u = 0.5 + xp.arctan2(p_obj[:, 2], p_obj[:, 0]) / (2.0 * PI)
+        v = 0.5 + xp.arcsin(
+            xp.clip(2.0 * p_obj[:, 1], -1.0, 1.0)
+        ) / PI
+        out = out + (xp.stack([u, v], axis=-1),)
+    return out
 
 
 def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
-                    fwd, inv, inv_t, velocity=None, time=None, xp=jnp):
+                    fwd, inv, inv_t, velocity=None, time=None,
+                    tri_uv=None, want_uv=False, xp=jnp):
     """Fold mesh triangles into the running-min via a `lax.scan` over
     the triangle axis (python loop under numpy).
 
@@ -368,26 +408,39 @@ def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
     inv_t_g = inv_t[tri_geom]
     gidx = xp.asarray(tri_geom, dtype=xp.int32)
     vel_g = velocity[tri_geom] if velocity is not None else None
+    if want_uv and tri_uv is None:
+        # no vt data: raw barycentric (u,v) as the parameterization
+        tri_uv = xp.broadcast_to(
+            xp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                       dtype=origins.dtype)[None],
+            (tri_verts.shape[0], 3, 2),
+        )
 
     def body(best, tri):
+        tri = list(tri)
+        v, fg, ig, itg, gi = tri[:5]
+        rest = tri[5:]
+        vel = rest.pop(0) if velocity is not None else None
+        uv3 = rest.pop(0) if want_uv else None
+        o_t = origins
         if velocity is not None:
-            v, fg, ig, itg, gi, vel = tri
             o_t = origins - time[:, None] * vel[None]
-        else:
-            v, fg, ig, itg, gi = tri
-            o_t = origins
-        d, p, nr, o = _intersect_one_triangle(
-            o_t, dirs, v, fg, ig, itg, xp=xp
+        res = _intersect_one_triangle(
+            o_t, dirs, v, fg, ig, itg, xp=xp, uv3=uv3
         )
+        d, p, nr, o = res[:4]
+        uv = res[4] if want_uv else None
         if velocity is not None:
             p = p + time[:, None] * vel[None]
         n = origins.shape[0]
         return fold(best, d, p, nr, o,
-                    xp.full((n,), gi, dtype=xp.int32)), None
+                    xp.full((n,), gi, dtype=xp.int32), uv), None
 
     xs = (tri_verts, fwd_g, inv_g, inv_t_g, gidx)
     if velocity is not None:
         xs = xs + (vel_g,)
+    if want_uv:
+        xs = xs + (tri_uv,)
     if xp is jnp:
         import jax
 
@@ -399,10 +452,11 @@ def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
 
 
 def _intersect_one_triangle(origins, dirs, tri, fwd_g, inv_g, inv_t_g,
-                            xp=jnp):
+                            xp=jnp, uv3=None):
     """Möller–Trumbore for one triangle vs (N,) rays; same conventions
     as intersect_triangles (object-space normalize, 1e-4 back-off,
-    world distance, ray-facing normal)."""
+    world distance, ray-facing normal).  ``uv3`` (3,2) per-corner
+    texture coords appends a barycentric-interpolated (N,2) UV."""
     i3 = inv_g[:3, :3]
     ro = xp.stack(
         [
@@ -467,4 +521,13 @@ def _intersect_one_triangle(origins, dirs, tri, fwd_g, inv_g, inv_t_g,
     )
     dist = vm.norm(origins - point, xp=xp)[..., 0]
     dist = xp.where(hit, dist, NO_HIT)
-    return dist, point, normal, outside_raw & hit
+    out = (dist, point, normal, outside_raw & hit)
+    if uv3 is not None:
+        w = 1.0 - u - v
+        uv = xp.stack(
+            [w * uv3[0, 0] + u * uv3[1, 0] + v * uv3[2, 0],
+             w * uv3[0, 1] + u * uv3[1, 1] + v * uv3[2, 1]],
+            axis=-1,
+        )
+        out = out + (uv,)
+    return out

@@ -37,7 +37,7 @@ from ..core import rng
 from ..core import vecmath as vm
 from ..core.constants import PI, TRANSMISSION_PUSH
 from ..core.rng import Draw
-from ..core.types import Scene, SPHERE
+from ..core.types import Scene, SPHERE, CUBE
 from ..ops.bsdf import sample_bsdf
 from ..ops.intersect import intersect_scene
 
@@ -140,18 +140,27 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     """
     o, d = state["origins"], state["dirs"]
     vel = scene.geoms.velocity
+    want_uv = any(t >= 0 for t in scene.texture_ids) or any(
+        t >= 0 for t in scene.bump_texture_ids
+    )
     isect = intersect_scene(
         o, d, scene.geoms.type, fwd, inv, inv_t,
         tri_verts=scene.mesh.tri_verts if scene.mesh.count else None,
         tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
         velocity=vel, time=state.get("time"),
-        xp=xp,
+        tri_uv=scene.mesh.tri_uv if scene.mesh.count else None,
+        want_uv=want_uv, xp=xp,
     )
     mid = xp.asarray(scene.geoms.material_id)[isect["geom_idx"]]
     mat = _gather_material(scene.materials, mid, xp=xp)
+    if any(t >= 0 for t in scene.texture_ids):
+        mat["color"] = _texture_albedo(
+            scene, isect["uv"], mid, mat["color"], xp=xp
+        )
     needs_obj_point = (
         scene.materials.checker_scale is not None
         or scene.materials.bump_strength is not None
+        or any(t >= 0 for t in scene.bump_texture_ids)
     )
     if needs_obj_point:
         q = _object_point(
@@ -163,6 +172,10 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
         )
     if scene.materials.bump_strength is not None:
         isect["normal"] = _bump_normal(
+            scene, inv_t, q, isect, mid, xp=xp
+        )
+    if any(t >= 0 for t in scene.bump_texture_ids):
+        isect["normal"] = _bumptex_normal(
             scene, inv_t, q, isect, mid, xp=xp
         )
 
@@ -358,6 +371,101 @@ def _checker_albedo(scene, q, mid, color, xp=jnp):
     use2 = (cs > 0) & odd
     c2 = xp.asarray(scene.materials.checker_color)[mid]
     return xp.where(use2[:, None], c2, color)
+
+
+def _texture_albedo(scene, uv, mid, color, xp=jnp):
+    """Image texture mapping (TEXTURE extension; PBRT 10.4, the
+    README.md:103 extra): multiply the material RGB by the bilinear
+    texture sample at the hit UV.  Which texture a material samples is
+    static scene structure (Scene.texture_ids), so the loop unrolls
+    over the texture table and masks by material."""
+    from ..scene.textures import sample_texture
+
+    out = color
+    for t in sorted({t for t in scene.texture_ids if t >= 0}):
+        users = [m for m, tt in enumerate(scene.texture_ids) if tt == t]
+        use = xp.zeros(mid.shape, dtype=bool)
+        for m in users:
+            use = use | (mid == m)
+        smp = sample_texture(scene.textures[t], uv[:, 0], uv[:, 1],
+                             xp=xp)
+        out = xp.where(use[:, None], out * smp, out)
+    return out
+
+
+def _bumptex_normal(scene, inv_t, q, isect, mid, xp=jnp):
+    """Image bump mapping (BUMPTEX extension; PBRT 9.3, the
+    README.md:104 extra): perturb the shading normal by the world-space
+    gradient of the height texture h(u,v) (luminance), chained through
+    the object-space gradients of the UV parameterization —
+    sphere:  grad u = (-z, 0, x) / (2pi (x^2+z^2)),
+             grad v = (0, 2/sqrt(1-4y^2), 0) / pi;
+    cube face (dominant-normal axis): grad u / grad v are the unit
+    object axes the face maps from (ops/intersect._one_box).
+    dh/du, dh/dv come from one-texel central differences of the
+    bilinear sampler.  Mesh triangles keep their geometric normal
+    (UV-tangent frames per triangle are not derived here).
+    """
+    from ..scene.textures import sample_texture
+
+    uv = isect["uv"]
+    bt = [int(t) for t in scene.bump_texture_ids]
+    k_arr = xp.asarray(scene.materials.bumptex_strength)[mid]
+
+    # dh/du, dh/dv per ray (masked over the static material->tex map)
+    hu = xp.zeros(mid.shape, dtype=q.dtype)
+    hv = xp.zeros(mid.shape, dtype=q.dtype)
+    for t in sorted({t for t in bt if t >= 0}):
+        tex = scene.textures[t]
+        th, tw = tex.shape[0], tex.shape[1]
+        eu, ev = 1.0 / tw, 1.0 / th
+
+        def lum(du, dv, tex=tex):
+            s = sample_texture(tex, uv[:, 0] + du, uv[:, 1] + dv, xp=xp)
+            return (s[:, 0] + s[:, 1] + s[:, 2]) * (1.0 / 3.0)
+
+        hu_t = (lum(eu, 0.0) - lum(-eu, 0.0)) / (2.0 * eu)
+        hv_t = (lum(0.0, ev) - lum(0.0, -ev)) / (2.0 * ev)
+        use = xp.zeros(mid.shape, dtype=bool)
+        for m, tt in enumerate(bt):
+            if tt == t:
+                use = use | (mid == m)
+        hu = xp.where(use, hu_t, hu)
+        hv = xp.where(use, hv_t, hv)
+
+    # object-space gradient of h via the per-geom-type UV charts
+    gi = isect["geom_idx"]
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
+    g_obj = xp.zeros_like(q)
+    for g, gtype in enumerate(scene.geoms.type):
+        if gtype == SPHERE:
+            r2 = xp.maximum(qx * qx + qz * qz, 1e-12)
+            gu = xp.stack(
+                [-qz / (2.0 * PI * r2),
+                 xp.zeros_like(qx),
+                 qx / (2.0 * PI * r2)], axis=-1,
+            )
+            den = xp.sqrt(xp.maximum(1.0 - 4.0 * qy * qy, 1e-12))
+            gv = xp.stack(
+                [xp.zeros_like(qx), 2.0 / (PI * den),
+                 xp.zeros_like(qx)], axis=-1,
+            )
+        elif gtype == CUBE:
+            ax = xp.argmax(xp.abs(q), axis=-1)  # dominant face axis
+            ex = xp.eye(3, dtype=q.dtype)
+            gu = xp.where((ax == 0)[:, None], ex[2], ex[0])
+            gv = xp.where((ax == 1)[:, None], ex[2], ex[1])
+        else:
+            continue  # mesh placeholder geoms: no bump chart
+        g_g = hu[:, None] * gu + hv[:, None] * gv
+        g_obj = xp.where((gi == g)[:, None], g_g, g_obj)
+
+    it_g = xp.asarray(inv_t)[gi]
+    g_w = vm.mat3_vec(it_g[:, :3, :3], g_obj, xp=xp)
+    n = isect["normal"]
+    g_t = g_w - vm.dot(g_w, n, xp=xp) * n
+    n2 = vm.normalize(n - k_arr[:, None] * g_t, xp=xp, eps=1e-20)
+    return xp.where((k_arr > 0)[:, None], n2, n)
 
 
 def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,

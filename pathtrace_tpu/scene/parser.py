@@ -77,7 +77,9 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
     geoms: List[dict] = []
     camera: Optional[dict] = None
     mesh_tris: List[np.ndarray] = []
+    mesh_uvs: List[np.ndarray] = []
     mesh_geom_ids: List[np.ndarray] = []
+    any_mesh_uv = False
 
     def next_line():
         nonlocal pos
@@ -151,6 +153,12 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                     m["sss_albedo"] = (
                         float(peek[2]), float(peek[3]), float(peek[4])
                     )
+                elif peek and peek[0] in ("TEXTURE", "BUMPTEX"):
+                    # image texture lines: consumed here so the block
+                    # reader stays aligned; semantics live in the
+                    # shared post-pass (scene/textures.attach_textures,
+                    # used identically by the native-parser wrapper)
+                    pos += 1
                 else:
                     break
             materials.append(m)
@@ -201,8 +209,15 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
                 p = mesh_path
                 if not os.path.isabs(p):
                     p = os.path.join(base_dir, p)
-                tris = load_obj(p)
+                tris, uvs = load_obj(p)
                 mesh_tris.append(tris)
+                if uvs is not None:
+                    any_mesh_uv = True
+                    mesh_uvs.append(uvs)
+                else:
+                    mesh_uvs.append(
+                        np.zeros((tris.shape[0], 3, 2), dtype=np.float32)
+                    )
                 mesh_geom_ids.append(
                     np.full((tris.shape[0],), len(geoms), dtype=np.int32)
                 )
@@ -307,6 +322,10 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         mesh = T.TriMesh(
             tri_verts=np.concatenate(mesh_tris, axis=0).astype(f32),
             tri_geom=np.concatenate(mesh_geom_ids, axis=0),
+            tri_uv=(
+                np.concatenate(mesh_uvs, axis=0).astype(f32)
+                if any_mesh_uv else None
+            ),
         )
     else:
         mesh = T.empty_mesh()
@@ -323,7 +342,9 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         i for i, g in enumerate(geoms)
         if materials[g["material_id"]]["emittance"] > 0
     )
-    return T.Scene(
+    from .textures import attach_textures
+
+    scene = T.Scene(
         materials=mats, geoms=gs, mesh=mesh, camera=cam_t,
         resolution=tuple(camera["resolution"]),
         trace_depth=int(camera["depth"]),
@@ -331,6 +352,7 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         image_name=camera["file"],
         light_indices=light_indices,
     )
+    return attach_textures(scene, text, base_dir=base_dir)
 
 
 def derived_fov(scene: T.Scene):

@@ -81,8 +81,10 @@ class TestObjLoader:
             "f 1 2 3 4\nf -4/1 -3/2 -2/3\n"
         )
         a = N.load_obj_native(str(obj))
-        b = load_obj(str(obj))
+        b, b_uv = load_obj(str(obj))
         np.testing.assert_array_equal(a, b)
+        # vt refs with no vt block in the file -> no UV table
+        assert b_uv is None
 
     def test_missing_file(self):
         with pytest.raises(N.NativeError, match="cannot open"):

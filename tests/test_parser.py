@@ -173,7 +173,7 @@ class TestMeshExtension:
         obj.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
         from pathtrace_tpu.scene.obj import load_obj
 
-        tris = load_obj(str(obj))
+        tris, _uv = load_obj(str(obj))
         assert tris.shape == (2, 3, 3)
 
     def test_obj_negative_and_slash_indices(self, tmp_path):
@@ -183,6 +183,6 @@ class TestMeshExtension:
         )
         from pathtrace_tpu.scene.obj import load_obj
 
-        tris = load_obj(str(obj))
+        tris, _uv = load_obj(str(obj))
         assert tris.shape == (1, 3, 3)
         np.testing.assert_allclose(tris[0, 1], [1, 0, 0])
