@@ -109,10 +109,37 @@ def geom_transforms(geoms, xp=jnp):
     return fwd, inv, inv_t
 
 
+def _take_rows(table, idx, xp=jnp):
+    """``table[idx]`` for a small (static-row-count) table.
+
+    On TPU a per-ray gather serializes (~1 element/cycle); for the G/M
+    tables here (a handful of rows) a where-fold over rows is pure VPU
+    work and XLA fuses it into the consumer.  This single change takes
+    the wavefront engine from ~1,140 ms/iter to the tens of ms on
+    cornell 800x800 (BENCHMARKS.md): the gathers were the documented
+    "XLA path is slow" sin, not the scan structure.  The transpose of a
+    where-fold is a where-fold (no scatter in the backward pass).
+    Falls back to fancy-indexing off-graph (numpy oracle) or for big
+    tables.
+    """
+    table = xp.asarray(table)
+    n = table.shape[0]
+    if xp is not jnp or n > 64:
+        return table[idx]
+    m_shape = idx.shape + (1,) * (table.ndim - 1)
+    out = xp.broadcast_to(
+        table[0], idx.shape + table.shape[1:]
+    ).astype(table.dtype)
+    for r in range(1, n):
+        m = (idx == r).reshape(m_shape)
+        out = xp.where(m, table[r], out)
+    return out
+
+
 def _gather_material(materials, mid, xp=jnp):
     # xp.asarray: the table may be a closed-over numpy constant while
     # ``mid`` is traced (e.g. differentiating w.r.t. a param subset)
-    g = lambda a: xp.asarray(a)[mid]
+    g = lambda a: _take_rows(a, mid, xp=xp)
     out = dict(
         color=g(materials.color),
         spec_color=g(materials.spec_color),
@@ -151,7 +178,7 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
         tri_uv=scene.mesh.tri_uv if scene.mesh.count else None,
         want_uv=want_uv, xp=xp,
     )
-    mid = xp.asarray(scene.geoms.material_id)[isect["geom_idx"]]
+    mid = _take_rows(scene.geoms.material_id, isect["geom_idx"], xp=xp)
     mat = _gather_material(scene.materials, mid, xp=xp)
     if any(t >= 0 for t in scene.texture_ids):
         mat["color"] = _texture_albedo(
@@ -319,10 +346,10 @@ def _object_point(inv, isect, vel, time, xp=jnp):
     """Hit point in the hit geom's object space (motion-compensated) —
     the shared basis for procedural texturing and bump mapping."""
     gi = isect["geom_idx"]
-    inv_g = xp.asarray(inv)[gi]                    # (N,4,4)
+    inv_g = _take_rows(inv, gi, xp=xp)             # (N,4,4)
     pw = isect["point"]
     if vel is not None and time is not None:
-        pw = pw - time[:, None] * xp.asarray(vel)[gi]
+        pw = pw - time[:, None] * _take_rows(vel, gi, xp=xp)
     return vm.mat3_vec(inv_g[:, :3, :3], pw, xp=xp) + inv_g[:, :3, 3]
 
 
@@ -331,8 +358,8 @@ def _bump_normal(scene, inv_t, q, isect, mid, xp=jnp):
     README.md:104 extra): perturb the shading normal by the analytic
     gradient of a sinusoidal height field in object space,
     n' = normalize(n - k * tangential(grad h))."""
-    bs = xp.asarray(scene.materials.bump_scale)[mid]
-    bk = xp.asarray(scene.materials.bump_strength)[mid]
+    bs = _take_rows(scene.materials.bump_scale, mid, xp=xp)
+    bk = _take_rows(scene.materials.bump_strength, mid, xp=xp)
     w = bs * (2.0 * PI)
     # h(q) = prod sin(w q_i + 0.5); the 0.5 phase keeps the field
     # non-degenerate on cube faces (object coords exactly +-0.5)
@@ -345,7 +372,7 @@ def _bump_normal(scene, inv_t, q, isect, mid, xp=jnp):
     )
     # gradients transform like normals (inverse-transpose)
     gi = isect["geom_idx"]
-    it_g = xp.asarray(inv_t)[gi]
+    it_g = _take_rows(inv_t, gi, xp=xp)
     g_w = vm.mat3_vec(it_g[:, :3, :3], g_obj, xp=xp)
     n = isect["normal"]
     g_t = g_w - vm.dot(g_w, n, xp=xp) * n          # tangential part
@@ -358,7 +385,7 @@ def _checker_albedo(scene, q, mid, color, xp=jnp):
     texture-mapping extra README.md:103): alternate the albedo on a 3D
     checkerboard in the hit geom's object space — it sticks to the
     object under instancing and motion."""
-    cs = xp.asarray(scene.materials.checker_scale)[mid]
+    cs = _take_rows(scene.materials.checker_scale, mid, xp=xp)
     # lattice phase offset (1/64, exactly representable): cube faces sit
     # at object coords of exactly +-0.5, which otherwise lands cell
     # boundaries exactly on surfaces and makes parity rounding-dependent
@@ -369,7 +396,7 @@ def _checker_albedo(scene, q, mid, color, xp=jnp):
     )
     odd = xp.mod(cells, 2.0) >= 1.0
     use2 = (cs > 0) & odd
-    c2 = xp.asarray(scene.materials.checker_color)[mid]
+    c2 = _take_rows(scene.materials.checker_color, mid, xp=xp)
     return xp.where(use2[:, None], c2, color)
 
 
@@ -410,7 +437,7 @@ def _bumptex_normal(scene, inv_t, q, isect, mid, xp=jnp):
 
     uv = isect["uv"]
     bt = [int(t) for t in scene.bump_texture_ids]
-    k_arr = xp.asarray(scene.materials.bumptex_strength)[mid]
+    k_arr = _take_rows(scene.materials.bumptex_strength, mid, xp=xp)
 
     # dh/du, dh/dv per ray (masked over the static material->tex map)
     hu = xp.zeros(mid.shape, dtype=q.dtype)
@@ -460,7 +487,7 @@ def _bumptex_normal(scene, inv_t, q, isect, mid, xp=jnp):
         g_g = hu[:, None] * gu + hv[:, None] * gv
         g_obj = xp.where((gi == g)[:, None], g_g, g_obj)
 
-    it_g = xp.asarray(inv_t)[gi]
+    it_g = _take_rows(inv_t, gi, xp=xp)
     g_w = vm.mat3_vec(it_g[:, :3, :3], g_obj, xp=xp)
     n = isect["normal"]
     g_t = g_w - vm.dot(g_w, n, xp=xp) * n
@@ -532,14 +559,25 @@ def _nee_direct(scene, fwd, inv, inv_t, it, pix, dep, isect, mat,
 def _densify(state, xp=jnp):
     """Stable-partition live rays to the front (compaction='sort').
 
-    The XLA-friendly equivalent of scan-compact: a stable argsort on the
-    dead flag is exactly flag-scan-scatter (GPU Gems 3 ch.39) — dead
-    lanes keep relative order too, and RNG keyed on pixel id makes the
-    permutation semantically invisible.
+    Uses the work-efficient scan primitive (ops/scan.py: MXU
+    triangular-matmul prefix sum + gather apply — the TPU recast of
+    GPU Gems 3 ch.39 flag-scan-scatter).  The permutation is
+    bit-identical to a stable argsort on the dead flag
+    (tests/test_scan.py::test_matches_argsort_order), and RNG keyed on
+    pixel id makes it semantically invisible.  The numpy oracle keeps
+    the argsort formulation (off-graph).
     """
-    dead = (~state["live"]).astype(jnp.int32)
-    perm = jnp.argsort(dead, stable=True)
-    return {k: v[perm] for k, v in state.items()}
+    if xp is not jnp:
+        dead = (~state["live"]).astype(xp.int32)
+        perm = xp.argsort(dead, kind="stable")
+        return {k: v[perm] for k, v in state.items()}
+    from ..ops.scan import compact
+
+    dense, _ = compact(
+        state["live"], state,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return dense
 
 
 def trace_pixels(scene: Scene, it, pixel_ids, compaction: str = "mask",

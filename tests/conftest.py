@@ -23,6 +23,19 @@ if not os.environ.get("PT_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+# Persistent compilation cache: the grad/vjp tests are compile-dominated
+# (~2 min XLA compile, ~0.04 s run); caching makes re-runs near-instant
+# and keeps the suite usable as it grows.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import dataclasses  # noqa: E402
 

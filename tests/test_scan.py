@@ -1,0 +1,62 @@
+"""Scan / stream-compaction primitive (ops/scan.py) vs numpy.
+
+The reference's stream_compaction subproject spec (README.md:83-86):
+work-efficient scan + scatter.  Here: MXU-triangular-matmul scan +
+gather-apply; verified exact (0/1 and integer inputs stay below 2^24,
+where the f32 matmul is error-free) and bit-identical to the stable
+argsort the integrator's sort mode uses.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pathtrace_tpu.ops.scan import compact, compact_indices, prefix_sum_pallas
+
+
+@pytest.mark.parametrize("n", [1, 100, 1024, 1025, 4096, 10000])
+def test_prefix_sum_matches_numpy(n):
+    r = np.random.RandomState(n)
+    x = (r.rand(n) < 0.4).astype(np.float32)
+    got = np.asarray(prefix_sum_pallas(jnp.asarray(x), interpret=True))
+    want = np.cumsum(x) - x  # exclusive
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_prefix_sum_integers_exact():
+    r = np.random.RandomState(7)
+    x = r.randint(0, 1000, size=3000).astype(np.int32)
+    got = np.asarray(prefix_sum_pallas(jnp.asarray(x), interpret=True))
+    want = (np.cumsum(x) - x).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compact_matches_stable_partition():
+    r = np.random.RandomState(3)
+    n = 5000
+    mask = r.rand(n) < 0.3
+    payload = {"a": r.rand(n, 3).astype(np.float32),
+               "b": np.arange(n, dtype=np.int32)}
+    dense, n_live = compact(jnp.asarray(mask), payload, interpret=True)
+    k = int(n_live)
+    assert k == mask.sum()
+    np.testing.assert_array_equal(
+        np.asarray(dense["b"])[:k], np.arange(n)[mask]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense["b"])[k:], np.arange(n)[~mask]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense["a"]), payload["a"][np.asarray(dense["b"])]
+    )
+
+
+def test_matches_argsort_order():
+    """Bit-identical to the stable argsort the integrator sort mode
+    uses (same permutation -> same downstream image bits)."""
+    r = np.random.RandomState(11)
+    mask = r.rand(4096) < 0.5
+    perm, _ = compact_indices(jnp.asarray(mask), interpret=True)
+    ref = np.argsort(~mask, kind="stable")
+    np.testing.assert_array_equal(np.asarray(perm), ref)
