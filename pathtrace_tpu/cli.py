@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard samples across all local devices")
     p.add_argument("--stats", action="store_true",
                    help="emit per-chunk JSON stats lines")
+    p.add_argument("--interactive", default=None, metavar="CTRL",
+                   help="poll CTRL file for key events between chunks "
+                        "(written by tools.watch --ctrl): arrows orbit, "
+                        "wasd/rf translate, space saves, esc quits; any "
+                        "camera key RESTARTS accumulation, the "
+                        "reference's camchanged -> iteration=0 contract "
+                        "(src/main.cpp:72-94,115-137)")
     p.add_argument("--seed", type=int, default=0,
                    help="iteration-stream offset (0 matches the reference)")
     return p
@@ -103,34 +110,38 @@ def main(argv=None) -> int:
         accum, done = ckpt.load(args.checkpoint, scene)
         print(f"[pathtrace_tpu] resumed at iteration {done}", flush=True)
 
-    render_fn = None
-    if args.shard:
-        from pathtrace_tpu.parallel.shard import make_sharded_renderer
+    def make_render_fn(scene):
+        if args.shard:
+            from pathtrace_tpu.parallel.shard import make_sharded_renderer
 
-        render_fn = make_sharded_renderer(
-            scene, args.compaction, engine=args.engine
-        )
-    elif (
-        args.engine == "pallas"
-        and not args.rr
-        and args.compaction == "mask"
-    ):
-        import jax
-
-        if jax.default_backend() in ("tpu", "axon"):
-            from pathtrace_tpu.ops.pallas.megakernel import (
-                pathtrace_batch_pallas,
+            return make_sharded_renderer(
+                scene, args.compaction, engine=args.engine
             )
+        if args.engine == "pallas" and args.compaction == "mask":
+            import jax
 
-            render_fn = lambda it0, step: pathtrace_batch_pallas(
-                scene, it0, step, nee=args.nee
-            )
-        else:
+            if jax.default_backend() in ("tpu", "axon"):
+                from pathtrace_tpu.ops.pallas.megakernel import (
+                    pathtrace_batch_pallas,
+                )
+
+                return lambda it0, step: pathtrace_batch_pallas(
+                    scene, it0, step, nee=args.nee, rr=args.rr
+                )
             print(
                 "[pathtrace_tpu] pallas engine needs a TPU backend; "
                 "falling back to xla",
                 flush=True,
             )
+        return None
+
+    render_fn = make_render_fn(scene)
+
+    session = None
+    if args.interactive:
+        from pathtrace_tpu.render.interact import InteractiveSession
+
+        session = InteractiveSession(args.interactive)
 
     def save_final(accum, samples):
         img = image_io.to_display(accum, width, height, samples)
@@ -155,6 +166,29 @@ def main(argv=None) -> int:
     first_chunk = True
     t_start = time.time()
     while done < n_iters:
+        if session is not None:
+            new_cam, changed, save_req, quit_req = session.poll(
+                scene.camera
+            )
+            if changed:
+                # the reference's contract (src/main.cpp:74,91-94):
+                # camera change -> iteration 0 -> accumulation restarts
+                scene = dataclasses.replace(scene, camera=new_cam)
+                render_fn = make_render_fn(scene)
+                accum = np.zeros((scene.pixel_count, 3), np.float32)
+                done = 0
+                rays_total = steady_rays = 0
+                steady_time = 0.0
+                first_chunk = True
+                print(
+                    "[pathtrace_tpu] camera changed -> accumulation "
+                    "restarted",
+                    flush=True,
+                )
+            if save_req and done:
+                save_final(np.asarray(accum), done)
+            if quit_req:
+                break
         step = min(args.chunk, n_iters - done)
         t0 = time.time()
         if render_fn is not None:
@@ -225,9 +259,10 @@ def main(argv=None) -> int:
         flush=True,
     )
     accum = np.asarray(accum)
-    if args.checkpoint:
+    if args.checkpoint and done:
         ckpt.save(args.checkpoint, accum, done, scene)
-    save_final(accum, done)
+    if done:
+        save_final(accum, done)
     return 0
 
 

@@ -101,7 +101,7 @@ class Geoms:
         return len(self.type)
 
 
-@_pytree
+@_pytree(meta=("bvh_meta",))
 class TriMesh:
     """Triangle soup for MESH geoms, object space.
 
@@ -109,12 +109,22 @@ class TriMesh:
     ``tri_geom[t]`` indexes into :class:`Geoms` for the instance
     transform and material (the role ``glm::intersectRayTriangle`` plays
     per README.md:116).  ``tri_verts.shape[0] == 0`` means no mesh.
+
+    The ``bvh_*`` fields are the per-geom acceleration structure built
+    at scene load by :mod:`pathtrace_tpu.scene.bvh` (the reference's
+    "arbitrary mesh" goal, README.md:113-117, needs sub-linear
+    intersection).  ``bvh_meta`` — per-geom (g, node_off, n_nodes,
+    tri_off, n_tris) offsets — is *static* scene structure: the
+    megakernel unrolls one traversal per mesh geom from it.
     """
 
     tri_verts: Any  # (T, 3, 3)
     tri_geom: Any   # (T,) int32
     tri_uv: Any = None  # (T, 3, 2) per-corner texture coords (OBJ vt);
                         # None = no UVs (barycentric fallback)
+    bvh_nodes: Any = None   # (N, bvh.NODE_COLS) f32 skip-link node table
+    bvh_order: Any = None   # (T,) int32: reordered row -> original tri
+    bvh_meta: tuple = ()    # static per-geom offsets (see scene/bvh.py)
 
     @property
     def count(self):

@@ -216,17 +216,21 @@ def parse_scene_native(path: Optional[str] = None,
                 mesh_geom_ids.append(
                     np.full((tris.shape[0],), gi, np.int32)
                 )
-        mesh = (
-            T.TriMesh(
-                tri_verts=np.concatenate(mesh_tris, 0),
-                tri_geom=np.concatenate(mesh_geom_ids, 0),
-                tri_uv=(
-                    np.concatenate(mesh_uvs, 0) if any_uv else None
+        if mesh_tris:
+            from ..scene.bvh import with_bvh
+
+            mesh = with_bvh(
+                T.TriMesh(
+                    tri_verts=np.concatenate(mesh_tris, 0),
+                    tri_geom=np.concatenate(mesh_geom_ids, 0),
+                    tri_uv=(
+                        np.concatenate(mesh_uvs, 0) if any_uv else None
+                    ),
                 ),
+                g,
             )
-            if mesh_tris
-            else T.empty_mesh()
-        )
+        else:
+            mesh = T.empty_mesh()
 
         light_indices = tuple(
             int(i) for i in range(g) if emit[gmat[i]] > 0

@@ -154,7 +154,8 @@ def _bump_perturb(nx, ny, nz, qx, qy, qz, bs, bk,
 def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  height, depth, n_tris=0, features=(True,) * 6,
                  nee_lights=(), grad_mats=(), early_exit=False,
-                 pix_u=None, fx=None, fy=None, valid=None, mode="fwd"):
+                 pix_u=None, fx=None, fy=None, valid=None,
+                 nodes=None, bvh_meta=(), rr_mode=False):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -165,11 +166,10 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     SAME trace code serves forward and backward (no hand-written
     adjoint to drift).
 
-    ``mode='fwd'`` runs the depth loop as ``fori_loop`` (cheapest to
-    compile) with per-bounce live-count metrics; ``mode='vjp'`` runs it
-    as ``lax.scan`` over a ``jax.checkpoint``-ed bounce body — reverse-
-    differentiable, with only the carried ray state saved per bounce
-    (everything else recomputes during the backward sweep, all in VMEM).
+    The returned ``trace_one`` runs the depth loop as ``fori_loop``
+    (cheapest to compile) with per-bounce live-count metrics; its
+    ``.init_state`` / ``.bounce`` attributes expose the pieces the
+    reverse sweep (:func:`_vjp_kernel`) differentiates bounce-by-bounce.
     """
     (has_glass, has_imperfect, has_dof, has_motion,
      has_checker, has_bump) = features
@@ -179,6 +179,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     mat_of_geom = grad_mats[1:] if grad_mode else ()
     tri_ref = tri        # inner code keeps the _ref names (ref or value)
     lights_ref = lights
+    nodes_ref = nodes    # BVH node table (scene/bvh.py layout)
 
     c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -251,10 +252,12 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         dz = jnp.where(use_dof, ndz, dz)
         return ox, oy, oz, dx, dy, dz
 
-    def trace_nearest(ox, oy, oz, dx, dy, dz, tpl):
+    def trace_nearest(ox, oy, oz, dx, dy, dz, tpl, live=None):
         """Nearest hit over unrolled geoms (and VMEM triangles) for
         arbitrary ray planes — used for both path rays and NEE shadow
-        rays.  Returns plane dict."""
+        rays.  Returns plane dict.  ``live`` (optional f32 bool plane)
+        only narrows BVH traversal: dead lanes stop pulling nodes into
+        the any-lane test (their best entries are unused by shade)."""
         big = jnp.float32(NO_HIT)
         best = dict(
             dist=jnp.full((SUB, LANES), big, jnp.float32),
@@ -436,7 +439,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 m_ior=sel(mt(9), best["m_ior"]),
                 m_emit=sel(mt(10), best["m_emit"]),
             )
-        if n_tris:
+        if n_tris and not bvh_meta:
             def tri_body(t, best):
                 m = lambda k: tri_ref[t, k]
                 if has_motion:
@@ -556,13 +559,220 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 
             best = jax.lax.fori_loop(0, n_tris, tri_body, best)
 
+        if n_tris and bvh_meta:
+            # BVH engine: one skip-link traversal per mesh geom
+            # (scene/bvh.py).  The whole (SUB, LANES) tile walks a
+            # single coherent node sequence — a scalar cursor in a
+            # while_loop, advanced to the first child on any-lane AABB
+            # hit and to the skip link otherwise — so control flow is
+            # uniform (the TPU has no per-lane divergence) and pruning
+            # is the vectorized slab test itself.  Everything static
+            # per geom (transforms, material, checker/bump) loads like
+            # the primitive branches above; the leaf fold is Moller-
+            # Trumbore on compact (T,16) rows, identical math to
+            # tri_body.
+            for (g, node_off, n_nodes_g, tri_off, _ntg) in bvh_meta:
+                m = lambda k: gmat[g, k]
+                mt = lambda k: mats[g, k]
+                if has_motion:
+                    gox = ox - tpl * m(33)
+                    goy = oy - tpl * m(34)
+                    goz = oz - tpl * m(35)
+                else:
+                    gox, goy, goz = ox, oy, oz
+                i00, i01, i02, i03 = m(12), m(13), m(14), m(15)
+                i10, i11, i12, i13 = m(16), m(17), m(18), m(19)
+                i20, i21, i22, i23 = m(20), m(21), m(22), m(23)
+                rox = i00 * gox + i01 * goy + i02 * goz + i03
+                roy = i10 * gox + i11 * goy + i12 * goz + i13
+                roz = i20 * gox + i21 * goy + i22 * goz + i23
+                rdx = i00 * dx + i01 * dy + i02 * dz
+                rdy = i10 * dx + i11 * dy + i12 * dz
+                rdz = i20 * dx + i21 * dy + i22 * dz
+                rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
+                irdx, irdy, irdz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
+
+                # exact object-space pruning bound from the current
+                # world-space winner: dist = (t - RAY_OFFSET) * |L rd|
+                # with L the linear part of fwd (monotonic in t), so
+                # t_bound = dist / |L rd| + RAY_OFFSET (+ slack).
+                wdx = m(0) * rdx + m(1) * rdy + m(2) * rdz
+                wdy = m(4) * rdx + m(5) * rdy + m(6) * rdz
+                wdz = m(8) * rdx + m(9) * rdy + m(10) * rdz
+                s_ray = jnp.sqrt(wdx * wdx + wdy * wdy + wdz * wdz)
+                t0 = (best["dist"] / jnp.maximum(s_ray, 1e-20)
+                      * jnp.float32(1.0 + 1e-5)
+                      + jnp.float32(RAY_OFFSET) + jnp.float32(1e-4))
+
+                def slab(mn, mx, o, ird):
+                    t1 = (mn - o) * ird
+                    t2 = (mx - o) * ird
+                    ta = jnp.minimum(t1, t2)
+                    tb = jnp.maximum(t1, t2)
+                    # 0 * inf NaN (origin on a slab plane with zero
+                    # direction component): unconstrain the axis —
+                    # conservative, never misses a real hit
+                    ta = jnp.where(jnp.isnan(ta), -jnp.inf, ta)
+                    tb = jnp.where(jnp.isnan(tb), jnp.inf, tb)
+                    return ta, tb
+
+                def leaf_body(sl, carry, *, rox=rox, roy=roy, roz=roz,
+                              rdx=rdx, rdy=rdy, rdz=rdz, gox=gox,
+                              goy=goy, goz=goz, m=m, mt=mt, g=g):
+                    best, t_loc = carry
+                    tm = lambda k: tri_ref[sl, k]
+                    v0x, v0y, v0z = tm(0), tm(1), tm(2)
+                    e1x, e1y, e1z = tm(3), tm(4), tm(5)
+                    e2x, e2y, e2z = tm(6), tm(7), tm(8)
+                    nox, noy, noz = tm(9), tm(10), tm(11)
+                    pvx = rdy * e2z - rdz * e2y
+                    pvy = rdz * e2x - rdx * e2z
+                    pvz = rdx * e2y - rdy * e2x
+                    det = pvx * e1x + pvy * e1y + pvz * e1z
+                    ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit = ok & (u >= 0.0) & (vv >= 0.0) \
+                        & (u + vv <= 1.0) & (tt > 0.0)
+                    tofs = tt - jnp.float32(RAY_OFFSET)
+                    qx = rox + tofs * rdx
+                    qy = roy + tofs * rdy
+                    qz = roz + tofs * rdz
+                    pxw = m(0) * qx + m(1) * qy + m(2) * qz + m(3)
+                    pyw = m(4) * qx + m(5) * qy + m(6) * qz + m(7)
+                    pzw = m(8) * qx + m(9) * qy + m(10) * qz + m(11)
+                    face = rdx * nox + rdy * noy + rdz * noz
+                    flip = jnp.where(face < 0.0, 1.0, -1.0)
+                    nx0 = (m(24) * nox + m(25) * noy + m(26) * noz) * flip
+                    ny0 = (m(27) * nox + m(28) * noy + m(29) * noz) * flip
+                    nz0 = (m(30) * nox + m(31) * noy + m(32) * noz) * flip
+                    nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                    outside = hit & (face < 0.0)
+                    ddx, ddy, ddz = gox - pxw, goy - pyw, goz - pzw
+                    if has_motion:
+                        pxw = pxw + tpl * m(33)
+                        pyw = pyw + tpl * m(34)
+                        pzw = pzw + tpl * m(35)
+                    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
+
+                    better = dist < best["dist"]
+                    sel = lambda a, b: jnp.where(better, a, b)
+                    if has_bump:
+                        nx0, ny0, nz0 = _bump_perturb(
+                            nx0, ny0, nz0, qx, qy, qz, mt(15), mt(16),
+                            m(24), m(25), m(26), m(27), m(28), m(29),
+                            m(30), m(31), m(32),
+                        )
+                    if has_checker:
+                        cs = mt(11)
+                        ph = jnp.float32(0.015625)
+                        cells = (jnp.floor(qx * cs - ph)
+                                 + jnp.floor(qy * cs - ph)
+                                 + jnp.floor(qz * cs - ph))
+                        odd = (cs > 0.0) & (
+                            cells - 2.0 * jnp.floor(cells * 0.5) >= 1.0
+                        )
+                        al_r = jnp.where(odd, mt(12), mt(0))
+                        al_g = jnp.where(odd, mt(13), mt(1))
+                        al_b = jnp.where(odd, mt(14), mt(2))
+                    else:
+                        al_r = jnp.full((SUB, LANES), mt(0), jnp.float32)
+                        al_g = jnp.full((SUB, LANES), mt(1), jnp.float32)
+                        al_b = jnp.full((SUB, LANES), mt(2), jnp.float32)
+                    best = dict(
+                        dist=sel(dist, best["dist"]),
+                        px=sel(pxw, best["px"]),
+                        py=sel(pyw, best["py"]),
+                        pz=sel(pzw, best["pz"]),
+                        nx=sel(nx0, best["nx"]),
+                        ny=sel(ny0, best["ny"]),
+                        nz=sel(nz0, best["nz"]),
+                        outside=sel(
+                            jnp.where(outside, 1.0, 0.0)
+                            .astype(jnp.float32),
+                            best["outside"],
+                        ),
+                        gidx=sel(
+                            jnp.full((SUB, LANES), float(g), jnp.float32),
+                            best["gidx"],
+                        ),
+                        push=sel(
+                            jnp.full((SUB, LANES), gmat[g, 36],
+                                     jnp.float32),
+                            best["push"],
+                        ),
+                        mc_r=sel(al_r, best["mc_r"]),
+                        mc_g=sel(al_g, best["mc_g"]),
+                        mc_b=sel(al_b, best["mc_b"]),
+                        ms_r=sel(mt(3), best["ms_r"]),
+                        ms_g=sel(mt(4), best["ms_g"]),
+                        ms_b=sel(mt(5), best["ms_b"]),
+                        m_ex=sel(mt(6), best["m_ex"]),
+                        m_refl=sel(mt(7), best["m_refl"]),
+                        m_refr=sel(mt(8), best["m_refr"]),
+                        m_ior=sel(mt(9), best["m_ior"]),
+                        m_emit=sel(mt(10), best["m_emit"]),
+                    )
+                    # any in-geom hit bounds the in-geom search (world
+                    # distance is monotonic in object t per ray)
+                    t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
+                    return best, t_loc
+
+                def trav_body(carry, *, rox=rox, roy=roy, roz=roz,
+                              irdx=irdx, irdy=irdy, irdz=irdz,
+                              slab=slab, leaf_body=leaf_body,
+                              node_off=node_off, tri_off=tri_off):
+                    n, best, t_loc = carry
+                    nm = lambda k: nodes_ref[node_off + n, k]
+                    tax, tbx = slab(nm(0), nm(3), rox, irdx)
+                    tay, tby = slab(nm(1), nm(4), roy, irdy)
+                    taz, tbz = slab(nm(2), nm(5), roz, irdz)
+                    tnear = jnp.maximum(
+                        jnp.maximum(tax, tay),
+                        jnp.maximum(taz, jnp.float32(0.0)),
+                    )
+                    tfar = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+                    lane_hit = (tnear <= tfar) & (tnear < t_loc)
+                    if live is not None:
+                        lane_hit = lane_hit & (live > 0.0)
+                    any_hit = jnp.any(lane_hit)
+                    skip = nm(6).astype(jnp.int32)
+                    start = nm(7).astype(jnp.int32)
+                    count = nm(8).astype(jnp.int32)
+                    is_leaf = count > 0
+
+                    def do_leaf(c):
+                        return jax.lax.fori_loop(
+                            tri_off + start, tri_off + start + count,
+                            leaf_body, c,
+                        )
+
+                    best, t_loc = jax.lax.cond(
+                        any_hit & is_leaf, do_leaf, lambda c: c,
+                        (best, t_loc),
+                    )
+                    nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
+                    return nxt, best, t_loc
+
+                _, best, _ = jax.lax.while_loop(
+                    lambda c: c[0] < n_nodes_g, trav_body,
+                    (jnp.int32(0), best, t0),
+                )
+
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
 
     def intersect(st):
         return trace_nearest(st["ox"], st["oy"], st["oz"],
                              st["dx"], st["dy"], st["dz"],
-                             st.get("time"))
+                             st.get("time"), live=st["live"])
 
     def shade(st, isect, d, it_u):
         """Terminate-or-scatter, matching ops/bsdf.sample_bsdf."""
@@ -752,6 +962,28 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 rr, rg, rb, st, isect, cont, it_u, d + 1
             )
 
+        if rr_mode:
+            # Russian roulette from bounce 3 on (integrator._bounce):
+            # kill with prob 1-p where p tracks the post-bounce
+            # throughput; boost survivors by 1/p.  Same Draw.RR stream
+            # and clip range — bit-matched to the XLA engine.  Applied
+            # after NEE: direct lighting at this vertex is never
+            # rouletted, only the continuation ray.
+            ntr = st["tr"] * thr_r
+            ntg = st["tg"] * thr_g
+            ntb = st["tb"] * thr_b
+            p_srv = jnp.clip(
+                jnp.maximum(ntr, jnp.maximum(ntg, ntb)), 0.05, 1.0
+            )
+            u_rr = _uniform(it_u, pix_u, d + 1, Draw.RR)
+            apply_m = d >= 3
+            survive = ~apply_m | (u_rr < p_srv)
+            cont = cont & survive
+            boost = jnp.where(apply_m & survive, 1.0 / p_srv, 1.0)
+            thr_r = thr_r * boost
+            thr_g = thr_g * boost
+            thr_b = thr_b * boost
+
         out = dict(
             ox=jnp.where(cont, opx, st["ox"]),
             oy=jnp.where(cont, opy, st["oy"]),
@@ -864,7 +1096,10 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             inv_dl = 1.0 / dist_l
             sdx, sdy, sdz = wlx * inv_dl, wly * inv_dl, wlz * inv_dl
 
-            sh = trace_nearest(px, py, pz, sdx, sdy, sdz, tpl)
+            sh = trace_nearest(
+                px, py, pz, sdx, sdy, sdz, tpl,
+                live=jnp.where(has_diffuse, 1.0, 0.0),
+            )
             tol = jnp.maximum(1e-3, 5e-3 * dist_l)
             visible = (
                 sh["hit"]
@@ -897,32 +1132,28 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     crow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
-    def trace_one(it_u, counts_acc):
-        """One sample's full trace: raygen -> depth loop.  Returns the
-        final state (radiance in rr/rg/rb) and the updated live-count
-        accumulator (fwd mode; vjp mode passes counts through)."""
+    def init_state(it_u):
+        """Raygen + per-sample extras — the state entering bounce 0."""
         state = raygen_state(it_u)
         if nee:
             state["emit_ok"] = jnp.ones((SUB, LANES), jnp.float32)
         if has_motion:
             # shutter-time per camera sample (motion blur)
             state["time"] = _uniform(it_u, pix_u, 0, Draw.TIME)
+        return state
 
-        if mode == "vjp":
-            # Reverse-differentiable depth loop: scan over a
-            # checkpointed bounce — the backward sweep recomputes each
-            # bounce from its carried ray state instead of storing the
-            # whole trace (remat, VMEM-resident end to end).
-            def body(carry, _):
-                st, d = carry
-                isect = intersect(st)
-                return (shade(st, isect, d, it_u), d + 1), None
+    def bounce(st, d, it_u):
+        """One intersect+shade step — exposed (with :func:`init_state`)
+        for the reverse sweep in :func:`_vjp_kernel`, which transposes
+        the trace bounce-by-bounce."""
+        isect = intersect(st)
+        return shade(st, isect, d, it_u)
 
-            (state, _d), _ = jax.lax.scan(
-                jax.checkpoint(body), (state, jnp.int32(0)), None,
-                length=depth,
-            )
-            return state, counts_acc
+    def trace_one(it_u, counts_acc):
+        """One sample's full trace: raygen -> depth loop.  Returns the
+        final state (radiance in rr/rg/rb) and the updated live-count
+        accumulator."""
+        state = init_state(it_u)
 
         def depth_body(d, carry):
             st, counts_acc = carry
@@ -931,14 +1162,13 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 (crow == 0) & (ccol == d), n_live, 0
             )
 
-            def do_bounce(st):
-                isect = intersect(st)
-                return shade(st, isect, d, it_u)
-
             if early_exit:
-                st = jax.lax.cond(n_live > 0, do_bounce, lambda q: q, st)
+                st = jax.lax.cond(
+                    n_live > 0, lambda q: bounce(q, d, it_u),
+                    lambda q: q, st,
+                )
             else:
-                st = do_bounce(st)
+                st = bounce(st, d, it_u)
             return st, counts_acc
 
         state, counts_acc = jax.lax.fori_loop(
@@ -946,13 +1176,15 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         )
         return state, counts_acc
 
+    trace_one.init_state = init_state
+    trace_one.bounce = bounce
     return trace_one
 
 
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
             features=(True,) * 6, nee_lights=(), grad_mats=(),
-            early_exit=False):
+            early_exit=False, bvh_meta=(), rr_mode=False):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -985,6 +1217,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     n_mats = grad_mats[0] if grad_mode else 0
     rest = list(rest)
     tri_ref = rest.pop(0) if n_tris else None
+    nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
     if grad_mode:
         mtab_ref = rest.pop(0)     # (M,8): color3 spec3 emit refl
@@ -1008,7 +1241,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         geom_types=geom_types, width=width, height=height, depth=depth,
         n_tris=n_tris, features=features, nee_lights=nee_lights,
         grad_mats=grad_mats, early_exit=early_exit, pix_u=pix_u,
-        fx=fx, fy=fy, valid=valid, mode="fwd",
+        fx=fx, fy=fy, valid=valid, nodes=nodes_ref, bvh_meta=bvh_meta,
+        rr_mode=rr_mode,
     )
 
     def one_sample(sidx, acc):
@@ -1154,54 +1388,79 @@ def _pack_scene(scene):
     ], axis=1)  # (G,40)
 
     tri = None
+    nodes = None
     if scene.mesh.count:
-        tg = scene.mesh.tri_geom
-        tv = scene.mesh.tri_verts  # (T,3,3)
-        v0 = tv[:, 0]
-        e1 = tv[:, 1] - tv[:, 0]
-        e2 = tv[:, 2] - tv[:, 0]
-        n_obj = jnp.cross(e1, e2)
-        n_obj = n_obj / jnp.maximum(
-            jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
-        )
-        tmats = mats[:, :11][tg]  # per-geom material rows -> per-tri
-        t_count = tv.shape[0]
-        tri = jnp.concatenate([
-            inv[tg][:, :3, :].reshape(-1, 12),     # 0..11
-            fwd[tg][:, :3, :].reshape(-1, 12),     # 12..23
-            inv_t[tg][:, :3, :3].reshape(-1, 9),   # 24..32
-            v0, e1, e2, n_obj,                     # 33..44
-            tmats,                                 # 45..55
-            jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
-            mats[:, 11:17][tg],                    # 59..64 (checker+bump)
-            jnp.asarray(tg, jnp.float32)[:, None], # 65 (geom idx)
-            push[tg],                              # 66 (transmission push)
-            jnp.zeros((t_count, 128 - 67), jnp.float32),
-        ], axis=1)  # (T,128)
-    return cam, mats, gmat, tri
+        if scene.mesh.bvh_meta:
+            # BVH engine: compact per-triangle geometry rows in BVH
+            # (leaf-contiguous) order — [v0 (3), e1 (3), e2 (3),
+            # n_obj (3)].  Instance transform / material / feature data
+            # are static per geom (bvh_meta) and load from gmat/mats
+            # like the primitive branches, so none of it is per-tri.
+            order = jnp.asarray(scene.mesh.bvh_order)
+            tv = jnp.asarray(scene.mesh.tri_verts, jnp.float32)[order]
+            v0 = tv[:, 0]
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            n_obj = jnp.cross(e1, e2)
+            n_obj = n_obj / jnp.maximum(
+                jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
+            )
+            tri = jnp.concatenate([
+                v0, e1, e2, n_obj,
+                jnp.zeros((tv.shape[0], 4), jnp.float32),
+            ], axis=1)  # (T,16)
+            nodes = jnp.asarray(scene.mesh.bvh_nodes, jnp.float32)
+        else:
+            tg = scene.mesh.tri_geom
+            tv = scene.mesh.tri_verts  # (T,3,3)
+            v0 = tv[:, 0]
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            n_obj = jnp.cross(e1, e2)
+            n_obj = n_obj / jnp.maximum(
+                jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
+            )
+            tmats = mats[:, :11][tg]  # per-geom material rows -> per-tri
+            t_count = tv.shape[0]
+            tri = jnp.concatenate([
+                inv[tg][:, :3, :].reshape(-1, 12),     # 0..11
+                fwd[tg][:, :3, :].reshape(-1, 12),     # 12..23
+                inv_t[tg][:, :3, :3].reshape(-1, 9),   # 24..32
+                v0, e1, e2, n_obj,                     # 33..44
+                tmats,                                 # 45..55
+                jnp.asarray(vel, jnp.float32)[tg],     # 56..58 (motion)
+                mats[:, 11:17][tg],                    # 59..64 (checker+bump)
+                jnp.asarray(tg, jnp.float32)[:, None], # 65 (geom idx)
+                push[tg],                              # 66 (transmission push)
+                jnp.zeros((t_count, 128 - 67), jnp.float32),
+            ], axis=1)  # (T,128)
+    return cam, mats, gmat, tri, nodes
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "trace_depth",
                                              "geom_types", "interpret",
                                              "early_exit", "n_spp",
                                              "features", "nee_lights",
-                                             "grad_mats"))
+                                             "grad_mats", "bvh_meta",
+                                             "rr_mode"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
          features=(True,) * 6, nee_lights=(), grad_mats=(),
-         mtab=None, ct=None):
+         mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
     pad_rows = n_tiles * SUB
     n_tris = 0 if tri is None else tri.shape[0]
     grad_mode = bool(grad_mats)
+    bvh_meta = bvh_meta if n_tris else ()
 
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
         n_spp=n_spp, features=features, nee_lights=nee_lights,
-        grad_mats=grad_mats, early_exit=early_exit,
+        grad_mats=grad_mats, early_exit=early_exit, bvh_meta=bvh_meta,
+        rr_mode=rr_mode,
     )
     tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
@@ -1213,6 +1472,8 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     ]
     if n_tris:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # tri
+        if bvh_meta:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if nee_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
     if grad_mode:
@@ -1239,6 +1500,8 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     args = [it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat]
     if n_tris:
         args.append(tri)
+        if bvh_meta:
+            args.append(nodes)
     if nee_lights:
         args.append(lights)
     if grad_mode:
@@ -1249,6 +1512,13 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        # large meshes: the (T,16) tri table + BVH nodes are VMEM-
+        # resident (lane-padded to 128), so a 100k-tri scene holds
+        # ~60MB of tables — far above the 16MB default scoped limit
+        # but within the chip's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
     )(*args)
     rad_r, rad_g, rad_b, counts = outs[:4]
 
@@ -1333,9 +1603,10 @@ def _scene_features(scene):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit",
-                                             "features", "nee"))
-def _iteration_jit(scene, it, interpret, early_exit, features, nee=False):
-    cam, mats, gmat, tri = _pack_scene(scene)
+                                             "features", "nee", "rr"))
+def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
+                   rr=False):
+    cam, mats, gmat, tri, nodes = _pack_scene(scene)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
@@ -1343,16 +1614,24 @@ def _iteration_jit(scene, it, interpret, early_exit, features, nee=False):
         cam, mats, gmat, tri, lights, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, 1, features,
-        nee_lights,
+        nee_lights, nodes=nodes, bvh_meta=scene.mesh.bvh_meta,
+        rr_mode=rr,
     )
 
 
 def _sss_fallback(scene):
-    return scene.materials.sss_sigma is not None
+    # SSS and image textures run on the XLA engine (in-kernel texture
+    # sampling is the lane-gather design tracked for this round;
+    # falling back beats silently rendering untextured)
+    return (
+        scene.materials.sss_sigma is not None
+        or any(t >= 0 for t in scene.texture_ids)
+        or any(t >= 0 for t in scene.bump_texture_ids)
+    )
 
 
 def pathtrace_iteration_pallas(scene, it, interpret=False,
-                               early_exit=False, nee=False):
+                               early_exit=False, nee=False, rr=False):
     """Drop-in Pallas replacement for render.integrator.pathtrace_iteration
     (mask-mode semantics), spheres/cubes AND triangle meshes — the
     triangle table lives in VMEM and folds per ray tile.  Fully jitted,
@@ -1362,14 +1641,15 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
     if _sss_fallback(scene):
         from ...render.integrator import pathtrace_iteration
 
-        return pathtrace_iteration(scene, it, nee=nee)
+        return pathtrace_iteration(scene, it, nee=nee, rr=rr)
     return _iteration_jit(
-        scene, it, interpret, early_exit, _scene_features(scene), nee
+        scene, it, interpret, early_exit, _scene_features(scene), nee,
+        rr,
     )
 
 
 def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
-                           early_exit=False, nee=False):
+                           early_exit=False, nee=False, rr=False):
     """``n_iters`` samples/pixel in ONE kernel launch: the spp loop runs
     *inside* the megakernel, so per-sample radiance never touches HBM —
     one accumulated writeback per call.  Returns
@@ -1381,21 +1661,21 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
         from ...render.integrator import pathtrace_batch
 
         rad, counts = pathtrace_batch(
-            scene, it0, n_iters, remat=False, nee=nee
+            scene, it0, n_iters, remat=False, nee=nee, rr=rr
         )
         return rad, jnp.sum(counts, axis=0)  # (depth,) like the kernel
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
-        _scene_features(scene), nee,
+        _scene_features(scene), nee, rr,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
                                              "early_exit", "features",
-                                             "nee"))
+                                             "nee", "rr"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
-               nee=False):
-    cam, mats, gmat, tri = _pack_scene(scene)
+               nee=False, rr=False):
+    cam, mats, gmat, tri, nodes = _pack_scene(scene)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
@@ -1403,7 +1683,8 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
         cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, n_iters,
-        features, nee_lights,
+        features, nee_lights, nodes=nodes,
+        bvh_meta=scene.mesh.bvh_meta, rr_mode=rr,
     )
     return rad, counts
 
@@ -1415,7 +1696,7 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
 @functools.partial(jax.jit, static_argnames=("n_spp", "interpret",
                                              "features", "grad_mats"))
 def _grads_jit(scene, ct, it0, n_spp, interpret, features, grad_mats):
-    cam, mats, gmat, tri = _pack_scene(scene)
+    cam, mats, gmat, tri, nodes = _pack_scene(scene)
     m = scene.materials
     mtab = jnp.concatenate([
         jnp.asarray(m.color, jnp.float32),
@@ -1438,7 +1719,8 @@ def _grads_jit(scene, ct, it0, n_spp, interpret, features, grad_mats):
         cam, mats, gmat, tri, None, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, False, n_spp, features,
-        (), grad_mats, mtab, ct_planes,
+        (), grad_mats, mtab, ct_planes, nodes=nodes,
+        bvh_meta=scene.mesh.bvh_meta,
     )
     n_mats = grad_mats[0]
     return rad, dict(
@@ -1497,4 +1779,308 @@ def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
     return _grads_jit(
         scene, ct, it0, n_spp, interpret, _scene_features(scene),
         grad_mats,
+    )
+
+# ----------------------------------------------------------------------------
+# full reverse sweep (the general backward Pallas path)
+# ----------------------------------------------------------------------------
+
+def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
+                width, height, depth, n_pixels, n_tris=0, n_spp=1,
+                features=(True,) * 6, nee_lights=()):
+    """Fused value-and-gradient tile kernel: ``jax.vjp`` straight
+    through the VMEM trace.
+
+    Loads the scene tables (cam/mats/gmat[/lights]) as values and
+    transposes the trace *inside the kernel*: forward sweep storing
+    each bounce's carried ray state, then per-bounce ``jax.vjp``
+    walking depth backwards (Mosaic cannot lower ``lax.scan``
+    transposes or ``remat2``, so the reversal is written out) — the
+    whole fwd+bwd trace stays VMEM-resident per tile.  This is the
+    general backward path the factor-counting ``_grad_accumulate``
+    cannot express: gradients w.r.t. EVERY entry of the packed tables
+    (geometry transforms, camera, IOR, spec exponent, NEE light
+    tables …), chained to TRS/camera/material parameters host-side
+    through the differentiable ``_pack_scene`` / ``_pack_lights``
+    (render/diff.py does the same chaining for the XLA engine).
+
+    Table-gradient outputs use a constant-index output block: the TPU
+    grid is sequential, so each tile accumulates into the same
+    VMEM-resident block (initialized at tile 0).
+
+    Spec anchor: the transpose of the reference's specified per-depth
+    loop, src/pathtrace.cu:135-158; BASELINE.json north star (backward
+    Pallas kernels, grad psum overlap handled in parallel/shard.py).
+    """
+    nee = bool(nee_lights)
+    rest = list(rest)
+    tri_ref = rest.pop(0) if n_tris else None
+    lights_ref = rest.pop(0) if nee else None
+    ct_r_ref = rest.pop(0)
+    ct_g_ref = rest.pop(0)
+    ct_b_ref = rest.pop(0)
+    (rad_r_ref, rad_g_ref, rad_b_ref, d_cam_ref, d_mats_ref,
+     d_gmat_ref) = rest[:6]
+    d_lights_ref = rest[6] if nee else None
+
+    tile = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    pixel = (tile * SUB + row) * LANES + lane
+    valid = pixel < n_pixels
+    pix_u = _u32(pixel)
+    fx = (pixel % width).astype(jnp.float32)
+    fy = (pixel // width).astype(jnp.float32)
+
+    cam0 = cam_ref[:, :]
+    mats0 = mats_ref[:, :]
+    gmat0 = gmat_ref[:, :]
+    tri0 = tri_ref[:, :] if n_tris else None
+    lights0 = lights_ref[:, :] if nee else None
+    ct = (ct_r_ref[:, :], ct_g_ref[:, :], ct_b_ref[:, :])
+
+    def tracer_for(tables):
+        if nee:
+            cam_v, mats_v, gmat_v, lights_v = tables
+        else:
+            (cam_v, mats_v, gmat_v), lights_v = tables, None
+        return _make_tracer(
+            cam_v, mats_v, gmat_v, tri0, lights_v,
+            geom_types=geom_types, width=width, height=height,
+            depth=depth, n_tris=n_tris, features=features,
+            nee_lights=nee_lights, pix_u=pix_u, fx=fx, fy=fy,
+            valid=valid,
+        )
+
+    tables0 = ((cam0, mats0, gmat0, lights0) if nee
+               else (cam0, mats0, gmat0))
+
+    def one_sample(sidx, acc):
+        it_u = _u32(
+            jnp.full((SUB, LANES), it_ref[0, 0] + sidx, jnp.int32)
+        )
+        tr0 = tracer_for(tables0)
+
+        # ---- forward sweep, storing only the carried ray state per
+        # bounce (~15 (SUB,LANES) planes each — the remat residual set;
+        # Mosaic cannot lower lax.scan transposes or remat2 calls, so
+        # the reversal is written out: recompute bounce d from its
+        # stored input state, transpose it, walk d backwards.
+        states = [tr0.init_state(it_u)]
+        for d in range(depth):
+            states.append(tr0.bounce(states[-1], d, it_u))
+        final = states[-1]
+
+        # ---- reverse sweep
+        zero_st = {k: jnp.zeros_like(v) for k, v in final.items()}
+        d_st = dict(zero_st)
+        d_st["rr"], d_st["rg"], d_st["rb"] = ct
+        d_tab = jax.tree.map(jnp.zeros_like, tables0)
+        for d in reversed(range(depth)):
+            def f_d(tables, st_in, _d=d):
+                return tracer_for(tables).bounce(st_in, _d, it_u)
+
+            _, vjp_fn = jax.vjp(f_d, tables0, states[d])
+            dt, d_st = vjp_fn(d_st)
+            d_tab = jax.tree.map(jnp.add, d_tab, dt)
+
+        # raygen / per-sample extras depend on cam (DoF, basis)
+        def f_0(tables):
+            return tracer_for(tables).init_state(it_u)
+
+        _, vjp0 = jax.vjp(f_0, tables0)
+        (dt0,) = vjp0(d_st)
+        d_tab = jax.tree.map(jnp.add, d_tab, dt0)
+
+        out = (acc[0] + final["rr"], acc[1] + final["rg"],
+               acc[2] + final["rb"],
+               acc[3] + d_tab[0], acc[4] + d_tab[1], acc[5] + d_tab[2])
+        if nee:
+            out = out + (acc[6] + d_tab[3],)
+        return out
+
+    zeros = jnp.zeros((SUB, LANES), jnp.float32)
+    init = (zeros, zeros, zeros,
+            jnp.zeros_like(cam0), jnp.zeros_like(mats0),
+            jnp.zeros_like(gmat0))
+    if nee:
+        init = init + (jnp.zeros_like(lights0),)
+    acc = jax.lax.fori_loop(0, n_spp, one_sample, init)
+
+    rad_r_ref[:, :] = acc[0]
+    rad_g_ref[:, :] = acc[1]
+    rad_b_ref[:, :] = acc[2]
+
+    # cross-tile gradient accumulation: constant-index blocks stay
+    # VMEM-resident across the sequential grid
+    @pl.when(tile == 0)
+    def _init():
+        d_cam_ref[:, :] = jnp.zeros_like(cam0)
+        d_mats_ref[:, :] = jnp.zeros_like(mats0)
+        d_gmat_ref[:, :] = jnp.zeros_like(gmat0)
+        if nee:
+            d_lights_ref[:, :] = jnp.zeros_like(lights0)
+
+    d_cam_ref[:, :] = d_cam_ref[:, :] + acc[3]
+    d_mats_ref[:, :] = d_mats_ref[:, :] + acc[4]
+    d_gmat_ref[:, :] = d_gmat_ref[:, :] + acc[5]
+    if nee:
+        d_lights_ref[:, :] = d_lights_ref[:, :] + acc[6]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "resolution", "trace_depth", "geom_types", "interpret", "n_spp",
+    "features", "nee_lights"))
+def _run_vjp(cam, mats, gmat, tri, lights, ct_planes, it, resolution,
+             trace_depth, geom_types, interpret=False, n_spp=1,
+             features=(True,) * 6, nee_lights=()):
+    """pallas_call wrapper for :func:`_vjp_kernel`.  Returns
+    (radiance (P,3), d_cam, d_mats, d_gmat[, d_lights]) — gradients of
+    ``sum(ct * radiance)`` w.r.t. the packed tables."""
+    width, height = resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    pad_rows = n_tiles * SUB
+    n_tris = 0 if tri is None else tri.shape[0]
+    nee = bool(nee_lights)
+
+    kernel = functools.partial(
+        _vjp_kernel, geom_types=geom_types, width=width, height=height,
+        depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
+        n_spp=n_spp, features=features, nee_lights=nee_lights,
+    )
+    tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # it (1,1)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
+    ]
+    args = [it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat]
+    if n_tris:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(tri)
+    if nee:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(lights)
+    in_specs += [tile_block(), tile_block(), tile_block()]
+    args += list(ct_planes)
+
+    out_specs = [tile_block(), tile_block(), tile_block(),
+                 whole(cam), whole(mats), whole(gmat)]
+    out_shape = [
+        jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct(cam.shape, jnp.float32),
+        jax.ShapeDtypeStruct(mats.shape, jnp.float32),
+        jax.ShapeDtypeStruct(gmat.shape, jnp.float32),
+    ]
+    if nee:
+        out_specs.append(whole(lights))
+        out_shape.append(jax.ShapeDtypeStruct(lights.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,), in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        # the fwd+bwd trace holds ~24MB of planes (stored bounce states
+        # + one bounce's transpose live set) — above the 16MB default
+        # scoped-vmem limit but well within v5e's 128MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(*args)
+    rad = jnp.stack(
+        [outs[0].reshape(-1), outs[1].reshape(-1), outs[2].reshape(-1)],
+        axis=-1,
+    )[:n_pixels]
+    return (rad,) + tuple(outs[3:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_spp", "interpret",
+                                             "features", "nee",
+                                             "nee_lights"))
+def _render_vjp_jit(scene, params, ct, it0, n_spp, interpret, features,
+                    nee, nee_lights):
+    from ...render.diff import merge_params
+
+    def pack(params):
+        s = merge_params(scene, params)
+        cam, mats, gmat, _tri, _nodes = _pack_scene(s)
+        if nee:
+            lights, _ = _pack_lights(s)
+            return cam, mats, gmat, lights
+        return cam, mats, gmat
+
+    tables, pack_vjp = jax.vjp(pack, params)
+    cam, mats, gmat = tables[:3]
+    lights = tables[3] if nee else None
+    _, _, _, tri, _ = _pack_scene(scene)   # meshes not differentiated
+
+    width, height = scene.resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    pad = n_tiles * TILE - n_pixels
+    ct_flat = jnp.concatenate(
+        [jnp.asarray(ct, jnp.float32),
+         jnp.zeros((pad, 3), jnp.float32)], axis=0
+    )
+    ct_planes = tuple(
+        ct_flat[:, c].reshape(n_tiles * SUB, LANES) for c in range(3)
+    )
+    outs = _run_vjp(
+        cam, mats, gmat, tri, lights, ct_planes,
+        jnp.asarray(it0, jnp.int32), tuple(scene.resolution),
+        int(scene.trace_depth), tuple(scene.geoms.type), interpret,
+        n_spp, features, nee_lights,
+    )
+    rad = outs[0]
+    (param_grads,) = pack_vjp(tuple(outs[1:]))
+    return rad, param_grads
+
+
+def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
+                      nee=False):
+    """Radiance + full parameter gradients, entirely on the Pallas path.
+
+    Gradients of ``sum(ct * accumulated_radiance)`` w.r.t. ALL
+    differentiable scene parameters (render/diff.split_params: material
+    fields incl. IOR/spec exponent, geom TRS, camera) — the general
+    reverse sweep ``material_grads_pallas`` cannot express.  The trace
+    is transposed inside the megakernel (see :func:`_vjp_kernel`);
+    parameter chaining through scene packing happens host-side via the
+    same differentiable code the XLA engine uses.
+
+    Triangle-mesh and SSS scenes fall back to
+    render.diff.render_value_and_pixel_grad semantics (XLA autodiff).
+
+    Returns (accumulated radiance (P,3), grads dict matching
+    render.diff.split_params).
+    """
+    from ...render.diff import split_params
+
+    if _sss_fallback(scene) or scene.mesh.count:
+        raise NotImplementedError(
+            "render_vjp_pallas: SSS / mesh scenes use "
+            "render.diff.render_loss_and_grad (XLA autodiff)"
+        )
+    params = split_params(scene)
+    # static light structure in pure python — calling _pack_lights here
+    # would run its ~30 packing ops eagerly (one tunnel round-trip each)
+    nee_lights = tuple(
+        (int(li), int(scene.geoms.type[li]))
+        for li in scene.light_indices
+    ) if nee else ()
+    return _render_vjp_jit(
+        scene, params, ct, it0, n_spp, interpret,
+        _scene_features(scene), nee, nee_lights,
     )

@@ -229,3 +229,72 @@ def sharded_grad_step(scene: Scene, target, it0: int, n_iters: int,
         out_specs=(P(), P()),
     )
     return jax.jit(f)(params, target, its)
+
+
+def sharded_grad_step_pallas(scene: Scene, target, it0: int,
+                             n_iters: int, mesh: Mesh,
+                             interpret: bool = False, nee: bool = True):
+    """:func:`sharded_grad_step` with BOTH sweeps on the Pallas path.
+
+    Per device: the forward megakernel renders the local spp slice
+    (in-kernel spp loop), one image ``psum`` over ICI produces the
+    global image and the MSE cotangent, then the fused
+    :func:`~pathtrace_tpu.ops.pallas.megakernel._vjp_kernel` recomputes
+    the local forward in VMEM and transposes it bounce-by-bounce; the
+    parameter-gradient ``psum`` is the only other collective, and XLA's
+    latency-hiding scheduler overlaps it with the host-side packing
+    VJP.  Gradients are for ``mean((img - target)^2)`` w.r.t. the
+    render.diff.split_params pytree — identical (up to f32
+    reassociation) to :func:`sharded_grad_step` on the XLA engine.
+
+    Spec anchor: BASELINE.json north star (backward Pallas kernels on
+    the sharded training step); reference loop src/pathtrace.cu:135-158.
+    """
+    from ..ops.pallas.megakernel import (
+        _batch_jit, _render_vjp_jit, _scene_features, _sss_fallback,
+    )
+    from ..render.diff import merge_params, split_params
+
+    if _sss_fallback(scene) or scene.mesh.count:
+        raise NotImplementedError(
+            "sharded_grad_step_pallas: SSS/textured/mesh scenes use "
+            "sharded_grad_step (XLA autodiff)"
+        )
+    ndev = mesh.devices.size
+    if n_iters % ndev:
+        raise ValueError(f"n_iters={n_iters} not divisible by {ndev}")
+    per_dev = n_iters // ndev
+    its0 = it0 + jnp.arange(ndev, dtype=jnp.int32) * per_dev
+    features = _scene_features(scene)
+    params = split_params(scene)
+    nee_lights = tuple(
+        (int(li), int(scene.geoms.type[li]))
+        for li in scene.light_indices
+    ) if nee else ()
+    n_px = scene.pixel_count
+
+    def body(params, target, it0_local):
+        sc = merge_params(scene, params)
+        rad, _ = _batch_jit(
+            sc, it0_local[0], per_dev, interpret, False, features,
+            nee=nee,
+        )
+        img = jax.lax.psum(rad, "dev") / float(n_iters)
+        loss = jnp.mean((img - target) ** 2)
+        # d loss / d (local per-sample radiance sum): same ct on every
+        # device — each device's sweep covers its own spp slice, so the
+        # grad psum below is the exact global gradient
+        ct = 2.0 * (img - target) / float(n_px * 3 * n_iters)
+        _, g = _render_vjp_jit(
+            scene, params, ct, it0_local[0], per_dev, interpret,
+            features, nee, nee_lights,
+        )
+        g = jax.tree.map(lambda x: jax.lax.psum(x, "dev"), g)
+        return loss, g
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P(), P("dev")),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(f)(params, target, its0)

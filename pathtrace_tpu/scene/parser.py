@@ -319,13 +319,18 @@ def parse_scene(text: str, base_dir: str = ".") -> T.Scene:
         ),
     )
     if mesh_tris:
-        mesh = T.TriMesh(
-            tri_verts=np.concatenate(mesh_tris, axis=0).astype(f32),
-            tri_geom=np.concatenate(mesh_geom_ids, axis=0),
-            tri_uv=(
-                np.concatenate(mesh_uvs, axis=0).astype(f32)
-                if any_mesh_uv else None
+        from .bvh import with_bvh
+
+        mesh = with_bvh(
+            T.TriMesh(
+                tri_verts=np.concatenate(mesh_tris, axis=0).astype(f32),
+                tri_geom=np.concatenate(mesh_geom_ids, axis=0),
+                tri_uv=(
+                    np.concatenate(mesh_uvs, axis=0).astype(f32)
+                    if any_mesh_uv else None
+                ),
             ),
+            len(geoms),
         )
     else:
         mesh = T.empty_mesh()

@@ -10,6 +10,19 @@ Usage:
     python -m pathtrace_tpu.tools.watch /tmp/cornell.preview.png
     # in another shell:
     python -m pathtrace_tpu.cli scenes/cornell.txt --preview-every 100
+
+Interactive camera (the reference's key controls, src/main.cpp:115-137
+/ README.md:57-61): pass ``--ctrl FILE`` to both sides —
+
+    python -m pathtrace_tpu.cli scenes/cornell.txt \
+        --preview-every 20 --interactive /tmp/cam.ctrl
+    python -m pathtrace_tpu.tools.watch /tmp/cornell.preview.png \
+        --ctrl /tmp/cam.ctrl
+
+arrows orbit, w/a/s/d/r/f translate, space saves, esc/q quits.  Each
+keypress appends an event line to FILE; the renderer polls it between
+chunks and RESTARTS accumulation on any camera key (the reference's
+camchanged -> iteration=0 contract).
 """
 
 from __future__ import annotations
@@ -47,19 +60,76 @@ def render_ansi(img: np.ndarray, max_cols: int, max_rows: int) -> str:
     return "\n".join(lines)
 
 
+# terminal byte sequence -> control-file key event (arrow keys are
+# CSI sequences; the rest are plain characters)
+_KEY_SEQS = {
+    b"\x1b[A": "up", b"\x1b[B": "down",
+    b"\x1b[C": "right", b"\x1b[D": "left",
+    b"w": "w", b"a": "a", b"s": "s", b"d": "d",
+    b"r": "r", b"f": "f", b" ": "space",
+    b"\x1b": "esc", b"q": "q",
+}
+
+
+def _drain_keys(fd) -> list:
+    """Non-blocking read of pending keypresses from ``fd`` (raw mode),
+    decoded to control-file event names."""
+    import select
+
+    events = []
+    buf = b""
+    while select.select([fd], [], [], 0)[0]:
+        buf += os.read(fd, 64)
+    while buf:
+        # longest-match CSI first, then single chars
+        for seq in (buf[:3], buf[:1]):
+            if seq in _KEY_SEQS:
+                # lone ESC only if not the start of a CSI sequence
+                if seq == b"\x1b" and buf[:2] == b"\x1b[":
+                    continue
+                events.append(_KEY_SEQS[seq])
+                buf = buf[len(seq):]
+                break
+        else:
+            buf = buf[1:]
+    return events
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="live render preview (ANSI)")
     p.add_argument("png", help="PNG file to watch (re-read on change)")
     p.add_argument("--interval", type=float, default=1.0)
     p.add_argument("--once", action="store_true",
                    help="render once and exit")
+    p.add_argument("--ctrl", default=None, metavar="FILE",
+                   help="capture keys and append camera events to FILE "
+                        "(pair with cli --interactive FILE)")
     args = p.parse_args(argv)
 
     from PIL import Image
 
+    raw_ctx = None
+    if args.ctrl:
+        if not sys.stdin.isatty():
+            print("--ctrl needs a tty", file=sys.stderr)
+            return 1
+        import termios
+        import tty
+
+        from ..render.interact import send_key
+
+        fd = sys.stdin.fileno()
+        raw_ctx = (fd, termios.tcgetattr(fd))
+        tty.setcbreak(fd)
+
     last_mtime = 0.0
     try:
         while True:
+            if raw_ctx is not None:
+                for ev in _drain_keys(raw_ctx[0]):
+                    send_key(args.ctrl, ev)
+                    if ev in ("esc", "q"):
+                        return 0
             try:
                 mtime = os.path.getmtime(args.png)
             except OSError:
@@ -80,9 +150,14 @@ def main(argv=None) -> int:
                 sys.stdout.flush()
             if args.once:
                 return 0
-            time.sleep(args.interval)
+            time.sleep(args.interval if raw_ctx is None else 0.05)
     except KeyboardInterrupt:
         return 0
+    finally:
+        if raw_ctx is not None:
+            import termios
+
+            termios.tcsetattr(raw_ctx[0], termios.TCSADRAIN, raw_ctx[1])
 
 
 if __name__ == "__main__":

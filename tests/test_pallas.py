@@ -75,3 +75,25 @@ def test_mesh_scene_matches_jnp(tmp_path, cornell_scene):
     rad_j, _ = pt.pathtrace_iteration(scene, 1)
     d = np.abs(np.asarray(rad) - np.asarray(rad_j)).max(axis=-1)
     assert (d > 1e-3).mean() < 0.01
+
+
+def test_rr_matches_jnp_integrator(small):
+    """Russian roulette in-kernel: same Draw.RR stream, clip range and
+    boost as integrator._bounce — images and per-bounce live counts
+    must line up (RR kills rays from bounce 3 on, so counts at depth 3
+    diverge from the no-RR render)."""
+    deep = dataclasses.replace(small, trace_depth=6)
+    rad_p, counts_p = pathtrace_iteration_pallas(
+        deep, 2, interpret=True, rr=True
+    )
+    rad_j, counts_j = pt.pathtrace_iteration(deep, 2, rr=True)
+    d = np.abs(np.asarray(rad_p) - np.asarray(rad_j)).max(axis=-1)
+    assert (d > 1e-3).mean() < 0.005
+    # u_rr < p_srv flips for rays whose p_srv differs by an ulp
+    # between engines (f32 op ordering) — a few rays out of ~1500
+    np.testing.assert_allclose(
+        np.asarray(counts_p), np.asarray(counts_j), rtol=0.05
+    )
+    # RR actually terminated something vs the plain render
+    _, counts_no = pathtrace_iteration_pallas(deep, 2, interpret=True)
+    assert np.asarray(counts_p)[4:].sum() < np.asarray(counts_no)[4:].sum()

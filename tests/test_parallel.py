@@ -114,6 +114,51 @@ class TestShardedPallas:
         assert np.array_equal(np.asarray(out), np.asarray(ref))
         assert np.array_equal(np.asarray(counts), np.asarray(counts_ref))
 
+    def test_grad_step_matches_single_device(self, cornell_small, mesh):
+        """sharded_grad_step_pallas's psum/cotangent bookkeeping: the
+        fused fwd+bwd megakernel inside shard_map must reproduce the
+        same-engine single-device composition (forward batch -> MSE
+        cotangent -> reverse sweep) up to f32 psum reassociation.
+        Engine-vs-XLA-autodiff equality is tests/test_vjp_kernel.py."""
+        import jax
+        import jax.numpy as jnp
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _batch_jit, _render_vjp_jit, _scene_features,
+        )
+        from pathtrace_tpu.render.diff import split_params
+
+        tiny = dataclasses.replace(
+            cornell_small, resolution=(12, 12), trace_depth=3
+        )
+        target = np.zeros((tiny.pixel_count, 3), np.float32)
+        ndev = mesh.devices.size
+        loss_s, g_s = ps.sharded_grad_step_pallas(
+            tiny, target, 1, ndev, mesh, interpret=True
+        )
+
+        features = _scene_features(tiny)
+        nee_lights = tuple(
+            (int(li), int(tiny.geoms.type[li]))
+            for li in tiny.light_indices
+        )
+        rad, _ = _batch_jit(tiny, 1, ndev, True, False, features,
+                            nee=True)
+        img = np.asarray(rad) / ndev
+        loss_1 = np.mean((img - target) ** 2)
+        ct = 2.0 * (img - target) / float(tiny.pixel_count * 3 * ndev)
+        _, g_1 = _render_vjp_jit(
+            tiny, split_params(tiny), jnp.asarray(ct), 1, ndev, True,
+            features, True, nee_lights,
+        )
+        assert abs(float(loss_s) - float(loss_1)) < 1e-7
+        # tolerance floor: psum reassociates the 8 per-device partial
+        # sums, and grad components are sums with cancellation, so f32
+        # noise reaches ~1e-6 absolute / a few 1e-4 relative
+        for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-6
+            )
+
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("PT_TEST_TPU"),
