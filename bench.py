@@ -67,7 +67,9 @@ def main():
     for k in range(n_chunks):
         r, _ = batch(1 + chunk * k, chunk)
         accum = accum + r
-    accum.block_until_ready()
+    # force a host transfer: on the axon tunnel block_until_ready can
+    # return before device execution completes (utils/profiling.py)
+    _sink = float(jnp.sum(accum))
     dt = time.time() - t0
 
     mrays = segs_per_chunk * n_chunks / dt / 1e6

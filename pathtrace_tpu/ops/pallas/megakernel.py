@@ -151,11 +151,60 @@ def _bump_perturb(nx, ny, nz, qx, qy, qz, bs, bk,
     )
 
 
+def _atan_poly(t):
+    """Degree-11 odd minimax atan on [0,1] (max err ~1e-7 rad).  Mosaic
+    has no atan/atan2/asin lowering; the error is orders below the
+    engine-parity thresholds (a 1e-7 UV shift moves bilinear weights by
+    ~1e-5 texel)."""
+    t2 = t * t
+    return t * (0.9999993329
+                + t2 * (-0.3332985605
+                        + t2 * (0.1994653599
+                                + t2 * (-0.1390853351
+                                        + t2 * (0.0964200441
+                                                + t2 * (-0.0559098861
+                                                        + t2 * (0.0218612288
+                                                                + t2 * -0.0040540580)))))))
+
+
+def _atan2(y, x):
+    """atan2 on planes via :func:`_atan_poly` + quadrant selects
+    (integrator sphere-UV chart, ops/intersect.py _one_sphere)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    r = _atan_poly(t)
+    r = jnp.where(ay > ax, jnp.float32(0.5 * PI) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(PI) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _asin(t):
+    """asin via atan2(t, sqrt(1-t^2)); t pre-clipped to [-1,1]."""
+    return _atan2(t, jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0)))
+
+
+def _tex_fetch(tab, flat_idx):
+    """One texel tap: ``tab`` is a lane-replicated flat texture table
+    (HWtot, LANES) f32 (every lane holds the same flat texture), so a
+    sublane dynamic-gather — the ONLY gather Mosaic lowers: equal-shape
+    ``take_along_axis(x, idx, axis=0)`` -> tpu.dynamic_gather — fetches
+    an arbitrary texel per lane.  ``flat_idx`` (SUB, LANES) i32."""
+    pad = jnp.zeros((tab.shape[0] - SUB, LANES), jnp.int32)
+    idx_full = jnp.concatenate([flat_idx, pad], axis=0)
+    return jax.lax.stop_gradient(
+        jnp.take_along_axis(tab, idx_full, axis=0)[:SUB]
+    )
+
+
 def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
-                 height, depth, n_tris=0, features=(True,) * 6,
+                 height, depth, n_tris=0, features=(True,) * 7,
                  nee_lights=(), grad_mats=(), early_exit=False,
                  pix_u=None, fx=None, fy=None, valid=None,
-                 nodes=None, bvh_meta=(), rr_mode=False):
+                 nodes=None, bvh_meta=(), rr_mode=False,
+                 tex_geom=(), texr=None, texg=None, texb=None):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -172,7 +221,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     reverse sweep (:func:`_vjp_kernel`) differentiates bounce-by-bounce.
     """
     (has_glass, has_imperfect, has_dof, has_motion,
-     has_checker, has_bump) = features
+     has_checker, has_bump, has_sss) = features
     nee = bool(nee_lights)
     grad_mode = bool(grad_mats)   # grad_mats = (M, geom->material map)
     n_mats = grad_mats[0] if grad_mode else 0
@@ -180,6 +229,10 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     tri_ref = tri        # inner code keeps the _ref names (ref or value)
     lights_ref = lights
     nodes_ref = nodes    # BVH node table (scene/bvh.py layout)
+    # image textures (TEXTURE extension): tex_geom is the static
+    # per-geom (flat_offset, H, W) chart into the lane-replicated
+    # per-channel texture tables ((-1,0,0) = untextured geom)
+    tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
 
     c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -252,7 +305,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         dz = jnp.where(use_dof, ndz, dz)
         return ox, oy, oz, dx, dy, dz
 
-    def trace_nearest(ox, oy, oz, dx, dy, dz, tpl, live=None):
+    def trace_nearest(ox, oy, oz, dx, dy, dz, tpl, live=None,
+                      want_tex=False):
         """Nearest hit over unrolled geoms (and VMEM triangles) for
         arbitrary ray planes — used for both path rays and NEE shadow
         rays.  Returns plane dict.  ``live`` (optional f32 bool plane)
@@ -281,6 +335,14 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
             push=jnp.zeros((SUB, LANES), jnp.float32),
         )
+        if tex_mode:
+            # winner texture chart: flat table offset (-1 = none) + the
+            # texture's (H, W) + hit UV — sampled ONCE after the fold
+            best["t_off"] = jnp.full((SUB, LANES), -1.0, jnp.float32)
+            best["t_h"] = jnp.zeros((SUB, LANES), jnp.float32)
+            best["t_w"] = jnp.zeros((SUB, LANES), jnp.float32)
+            best["u"] = jnp.zeros((SUB, LANES), jnp.float32)
+            best["v"] = jnp.zeros((SUB, LANES), jnp.float32)
 
         for g, gtype in enumerate(geom_types):
             if gtype == T.MESH:
@@ -417,7 +479,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 al_r = jnp.full((SUB, LANES), mt(0), jnp.float32)
                 al_g = jnp.full((SUB, LANES), mt(1), jnp.float32)
                 al_b = jnp.full((SUB, LANES), mt(2), jnp.float32)
-            best = dict(
+            upd = dict(
                 dist=sel(dist, best["dist"]),
                 px=sel(pxw, best["px"]), py=sel(pyw, best["py"]),
                 pz=sel(pzw, best["pz"]),
@@ -439,6 +501,46 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 m_ior=sel(mt(9), best["m_ior"]),
                 m_emit=sel(mt(10), best["m_emit"]),
             )
+            if tex_mode:
+                g_off, g_h, g_w = tex_geom[g]
+                if g_off >= 0:
+                    # parametric UV chart (ops/intersect.py
+                    # _one_sphere/_one_box want_uv semantics)
+                    if gtype == T.SPHERE:
+                        uu = 0.5 + _atan2(qz, qx) * jnp.float32(
+                            1.0 / TWO_PI
+                        )
+                        vv_t = 0.5 + _asin(
+                            jnp.clip(2.0 * qy, -1.0, 1.0)
+                        ) * jnp.float32(1.0 / PI)
+                    else:  # CUBE: face-planar (dominant object normal)
+                        ax0 = jnp.abs(nox) > 0.0
+                        ax1 = jnp.abs(noy) > 0.0
+                        uu = jnp.where(ax0, qz, qx) + 0.5
+                        vv_t = jnp.where(ax1, qz, qy) + 0.5
+                    upd["t_off"] = sel(
+                        jnp.full((SUB, LANES), float(g_off), jnp.float32),
+                        best["t_off"],
+                    )
+                    upd["t_h"] = sel(
+                        jnp.full((SUB, LANES), float(g_h), jnp.float32),
+                        best["t_h"],
+                    )
+                    upd["t_w"] = sel(
+                        jnp.full((SUB, LANES), float(g_w), jnp.float32),
+                        best["t_w"],
+                    )
+                    upd["u"] = sel(uu, best["u"])
+                    upd["v"] = sel(vv_t, best["v"])
+                else:
+                    upd["t_off"] = sel(
+                        jnp.full((SUB, LANES), -1.0, jnp.float32),
+                        best["t_off"],
+                    )
+                    for key in ("t_h", "t_w", "u", "v"):
+                        upd[key] = sel(jnp.zeros((SUB, LANES),
+                                                 jnp.float32), best[key])
+            best = upd
         if n_tris and not bvh_meta:
             def tri_body(t, best):
                 m = lambda k: tri_ref[t, k]
@@ -530,7 +632,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     al_r = jnp.full((SUB, LANES), m(45), jnp.float32)
                     al_g = jnp.full((SUB, LANES), m(46), jnp.float32)
                     al_b = jnp.full((SUB, LANES), m(47), jnp.float32)
-                return dict(
+                out_t = dict(
                     dist=sel(dist, best["dist"]),
                     px=sel(pxw, best["px"]), py=sel(pyw, best["py"]),
                     pz=sel(pzw, best["pz"]),
@@ -556,6 +658,29 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     m_ior=sel(m(54), best["m_ior"]),
                     m_emit=sel(m(55), best["m_emit"]),
                 )
+                if tex_mode:
+                    # per-tri chart cols 67..69, vt corners 70..75
+                    # (barycentric interpolation, _one_triangle uv3)
+                    bw = 1.0 - u - vv
+                    out_t["t_off"] = sel(
+                        jnp.full((SUB, LANES), m(67), jnp.float32),
+                        best["t_off"],
+                    )
+                    out_t["t_h"] = sel(
+                        jnp.full((SUB, LANES), m(68), jnp.float32),
+                        best["t_h"],
+                    )
+                    out_t["t_w"] = sel(
+                        jnp.full((SUB, LANES), m(69), jnp.float32),
+                        best["t_w"],
+                    )
+                    out_t["u"] = sel(
+                        bw * m(70) + u * m(72) + vv * m(74), best["u"]
+                    )
+                    out_t["v"] = sel(
+                        bw * m(71) + u * m(73) + vv * m(75), best["v"]
+                    )
+                return out_t
 
             best = jax.lax.fori_loop(0, n_tris, tri_body, best)
 
@@ -686,6 +811,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         al_r = jnp.full((SUB, LANES), mt(0), jnp.float32)
                         al_g = jnp.full((SUB, LANES), mt(1), jnp.float32)
                         al_b = jnp.full((SUB, LANES), mt(2), jnp.float32)
+                    prev = best
                     best = dict(
                         dist=sel(dist, best["dist"]),
                         px=sel(pxw, best["px"]),
@@ -720,6 +846,34 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         m_ior=sel(mt(9), best["m_ior"]),
                         m_emit=sel(mt(10), best["m_emit"]),
                     )
+                    if tex_mode:
+                        # geom-static chart + vt corners at compact
+                        # cols 12..17 (barycentric interp)
+                        g_off, g_h, g_w = tex_geom[g]
+                        bw = 1.0 - u - vv
+                        best["t_off"] = sel(
+                            jnp.full((SUB, LANES), float(g_off),
+                                     jnp.float32),
+                            prev["t_off"],
+                        )
+                        best["t_h"] = sel(
+                            jnp.full((SUB, LANES), float(g_h),
+                                     jnp.float32),
+                            prev["t_h"],
+                        )
+                        best["t_w"] = sel(
+                            jnp.full((SUB, LANES), float(g_w),
+                                     jnp.float32),
+                            prev["t_w"],
+                        )
+                        best["u"] = sel(
+                            bw * tm(12) + u * tm(14) + vv * tm(16),
+                            prev["u"],
+                        )
+                        best["v"] = sel(
+                            bw * tm(13) + u * tm(15) + vv * tm(17),
+                            prev["v"],
+                        )
                     # any in-geom hit bounds the in-geom search (world
                     # distance is monotonic in object t per ray)
                     t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
@@ -766,13 +920,53 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     (jnp.int32(0), best, t0),
                 )
 
+        if tex_mode and want_tex:
+            # ONE bilinear texture sample for the whole tile, after the
+            # fold: the winner's (offset, H, W, u, v) planes address the
+            # lane-replicated flat tables.  Math mirrors
+            # scene/textures.sample_texture exactly (wrap-then-filter,
+            # texel centers at integer+0.5); albedo is MULTIPLIED in
+            # (integrator._texture_albedo).
+            th, tw = best["t_h"], best["t_w"]
+            x = best["u"] * tw - 0.5
+            y = best["v"] * th - 0.5
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            fx_w = x - x0f
+            fy_w = y - y0f
+            wi = jnp.maximum(tw.astype(jnp.int32), 1)
+            hi = jnp.maximum(th.astype(jnp.int32), 1)
+            x0 = jnp.mod(x0f.astype(jnp.int32), wi)
+            x1 = jnp.mod(x0 + 1, wi)
+            y0 = jnp.mod(y0f.astype(jnp.int32), hi)
+            y1 = jnp.mod(y0 + 1, hi)
+            off_i = jnp.maximum(best["t_off"].astype(jnp.int32), 0)
+            i00 = off_i + y0 * wi + x0
+            i01 = off_i + y0 * wi + x1
+            i10 = off_i + y1 * wi + x0
+            i11 = off_i + y1 * wi + x1
+            tex_on = best["t_off"] >= 0.0
+            for ch, tab in (("mc_r", texr), ("mc_g", texg),
+                            ("mc_b", texb)):
+                c00 = _tex_fetch(tab, i00)
+                c01 = _tex_fetch(tab, i01)
+                c10 = _tex_fetch(tab, i10)
+                c11 = _tex_fetch(tab, i11)
+                top = c00 * (1.0 - fx_w) + c01 * fx_w
+                bot = c10 * (1.0 - fx_w) + c11 * fx_w
+                smp = top * (1.0 - fy_w) + bot * fy_w
+                best[ch] = jnp.where(
+                    tex_on, best[ch] * smp, best[ch]
+                )
+
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
 
     def intersect(st):
         return trace_nearest(st["ox"], st["oy"], st["oz"],
                              st["dx"], st["dy"], st["dz"],
-                             st.get("time"), live=st["live"])
+                             st.get("time"), live=st["live"],
+                             want_tex=True)
 
     def shade(st, isect, d, it_u):
         """Terminate-or-scatter, matching ops/bsdf.sample_bsdf."""
@@ -899,6 +1093,20 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 
         cont = live & hit & ~emissive
 
+        if has_sss:
+            # subsurface scattering (integrator._bounce sss block):
+            # rays inside a medium sample an exponential free path; if
+            # it ends before the surface the ray scatters isotropically
+            # in place (albedo attenuation), else the Fresnel interface
+            # takes over at the surface.  Same Draw.SSS_* streams.
+            in_med = st["med_s"] > 0.0
+            u_step = _uniform(it_u, pix_u, dep, Draw.SSS_STEP)
+            sss_step = -jnp.log(jnp.maximum(1.0 - u_step, 1e-7)) \
+                / jnp.maximum(st["med_s"], 1e-8)
+            scatter_inside = (
+                in_med & live & hit & (sss_step < isect["dist"])
+            )
+
         # transmission fix (see integrator._bounce): push refracted
         # continuations past the interface so they don't re-intersect it
         opx, opy, opz = isect["px"], isect["py"], isect["pz"]
@@ -959,8 +1167,71 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             if has_glass:
                 took_diffuse = took_diffuse & ~is_glass
             rr, rg, rb = _nee_add(
-                rr, rg, rb, st, isect, cont, it_u, d + 1
+                rr, rg, rb, st, isect,
+                cont & ~scatter_inside if has_sss else cont,
+                it_u, d + 1,
             )
+
+        if has_sss:
+            # interior scattering event: move to the sampled point,
+            # bounce isotropically, attenuate by the medium's albedo
+            zi = 1.0 - 2.0 * _uniform(it_u, pix_u, dep, Draw.SSS_U)
+            ri = jnp.sqrt(jnp.maximum(1.0 - zi * zi, 0.0))
+            phi = _uniform(it_u, pix_u, dep, Draw.SSS_V) \
+                * jnp.float32(TWO_PI)
+            opx = jnp.where(
+                scatter_inside, st["ox"] + sss_step * st["dx"], opx
+            )
+            opy = jnp.where(
+                scatter_inside, st["oy"] + sss_step * st["dy"], opy
+            )
+            opz = jnp.where(
+                scatter_inside, st["oz"] + sss_step * st["dz"], opz
+            )
+            ndirx = jnp.where(scatter_inside, ri * jnp.cos(phi), ndirx)
+            ndiry = jnp.where(scatter_inside, ri * jnp.sin(phi), ndiry)
+            ndirz = jnp.where(scatter_inside, zi, ndirz)
+            thr_r = jnp.where(scatter_inside, st["med_r"], thr_r)
+            thr_g = jnp.where(scatter_inside, st["med_g"], thr_g)
+            thr_b = jnp.where(scatter_inside, st["med_b"], thr_b)
+
+            # medium membership changes only at surface refractions:
+            # entering a sigma>0 geom from outside, or exiting from
+            # inside (integrator._bounce entering/exiting)
+            at_surface = cont & ~scatter_inside
+            if has_glass:
+                m_sss = jnp.zeros((SUB, LANES), jnp.float32)
+                a_r = jnp.zeros((SUB, LANES), jnp.float32)
+                a_g = jnp.zeros((SUB, LANES), jnp.float32)
+                a_b = jnp.zeros((SUB, LANES), jnp.float32)
+                for g_s in range(len(geom_types)):
+                    sel_g = isect["gidx"] == float(g_s)
+                    m_sss = jnp.where(sel_g, mats[g_s, 17], m_sss)
+                    a_r = jnp.where(sel_g, mats[g_s, 18], a_r)
+                    a_g = jnp.where(sel_g, mats[g_s, 19], a_g)
+                    a_b = jnp.where(sel_g, mats[g_s, 20], a_b)
+                outs_m = isect["outside"] > 0.0
+                entering = (at_surface & took_refract_g
+                            & (m_sss > 0.0) & outs_m)
+                exiting = at_surface & took_refract_g & in_med & ~outs_m
+                new_med_s = jnp.where(
+                    entering, m_sss,
+                    jnp.where(exiting, 0.0, st["med_s"]),
+                )
+                new_med_r = jnp.where(
+                    entering, a_r, jnp.where(exiting, 1.0, st["med_r"])
+                )
+                new_med_g = jnp.where(
+                    entering, a_g, jnp.where(exiting, 1.0, st["med_g"])
+                )
+                new_med_b = jnp.where(
+                    entering, a_b, jnp.where(exiting, 1.0, st["med_b"])
+                )
+            else:
+                new_med_s = st["med_s"]
+                new_med_r, new_med_g, new_med_b = (
+                    st["med_r"], st["med_g"], st["med_b"]
+                )
 
         if rr_mode:
             # Russian roulette from bounce 3 on (integrator._bounce):
@@ -997,8 +1268,18 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             rr=rr, rg=rg, rb=rb,
             live=jnp.where(cont, 1.0, 0.0).astype(jnp.float32),
         )
+        if has_sss:
+            out["med_s"] = new_med_s
+            out["med_r"] = new_med_r
+            out["med_g"] = new_med_g
+            out["med_b"] = new_med_b
         if nee:
-            out["emit_ok"] = jnp.where(took_diffuse, 0.0, 1.0).astype(
+            emit_ok_n = ~took_diffuse
+            if has_sss:
+                # interior scattering events sample no NEE, so the
+                # next BSDF-found emission must count
+                emit_ok_n = emit_ok_n | scatter_inside
+            out["emit_ok"] = jnp.where(emit_ok_n, 1.0, 0.0).astype(
                 jnp.float32
             )
         if grad_mode:
@@ -1140,6 +1421,12 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         if has_motion:
             # shutter-time per camera sample (motion blur)
             state["time"] = _uniform(it_u, pix_u, 0, Draw.TIME)
+        if has_sss:
+            # current medium: extinction sigma (0 = vacuum) + albedo
+            state["med_s"] = jnp.zeros((SUB, LANES), jnp.float32)
+            state["med_r"] = jnp.ones((SUB, LANES), jnp.float32)
+            state["med_g"] = jnp.ones((SUB, LANES), jnp.float32)
+            state["med_b"] = jnp.ones((SUB, LANES), jnp.float32)
         return state
 
     def bounce(st, d, it_u):
@@ -1183,8 +1470,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
-            features=(True,) * 6, nee_lights=(), grad_mats=(),
-            early_exit=False, bvh_meta=(), rr_mode=False):
+            features=(True,) * 7, nee_lights=(), grad_mats=(),
+            early_exit=False, bvh_meta=(), rr_mode=False, tex_geom=()):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -1192,7 +1479,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
       aperture focal.
     mats_ref: (G,24) VMEM f32 per-geom *gathered* material rows:
       color(3) spec_color(3) spec_ex refl refr ior emit | checker
-      scale+color (11..14) | bump scale+strength (15..16) | pad
+      scale+color (11..14) | bump scale+strength (15..16) | SSS
+      sigma+albedo (17..20) | pad
       (layout built in _pack_scene — extend there, not here).
     gmat_ref: (G,40) VMEM f32 per-geom transforms: fwd 3x4 (0..11),
       inv 3x4 (12..23), invT 3x3 (24..32), velocity (33..35),
@@ -1215,10 +1503,19 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     nee = bool(nee_lights)
     grad_mode = bool(grad_mats)
     n_mats = grad_mats[0] if grad_mode else 0
+    tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     rest = list(rest)
     tri_ref = rest.pop(0) if n_tris else None
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
+    if tex_mode:
+        # lane-replicated flat texture tables (HWtot, 128) per channel;
+        # loaded as values (the gather consumes vectors)
+        texr_v = rest.pop(0)[:, :]
+        texg_v = rest.pop(0)[:, :]
+        texb_v = rest.pop(0)[:, :]
+    else:
+        texr_v = texg_v = texb_v = None
     if grad_mode:
         mtab_ref = rest.pop(0)     # (M,8): color3 spec3 emit refl
         ct_r_ref = rest.pop(0)     # cotangent planes (tile blocks)
@@ -1242,7 +1539,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         n_tris=n_tris, features=features, nee_lights=nee_lights,
         grad_mats=grad_mats, early_exit=early_exit, pix_u=pix_u,
         fx=fx, fy=fy, valid=valid, nodes=nodes_ref, bvh_meta=bvh_meta,
-        rr_mode=rr_mode,
+        rr_mode=rr_mode, tex_geom=tex_geom, texr=texr_v, texg=texg_v,
+        texb=texb_v,
     )
 
     def one_sample(sidx, acc):
@@ -1332,8 +1630,77 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 # host wrapper
 # ----------------------------------------------------------------------------
 
-def _pack_scene(scene):
-    """Scene pytree -> (cam (1,16), mats (G,16), gmat (G,36)) f32."""
+# in-kernel image-texture ceiling: each used texture's flat table is
+# lane-replicated to (H*W, 128) f32 in VMEM (the equal-shape sublane
+# dynamic-gather is the only gather Mosaic lowers, see _tex_fetch), so
+# a 64x64 texture costs 2 MB/channel; beyond this the scene falls back
+# to the XLA engine (scene/textures.py caps loads at 128x128).
+KTEX_MAX_SIDE = 64
+
+
+def _used_textures(scene):
+    return sorted({t for t in scene.texture_ids if t >= 0})
+
+
+def _tex_in_kernel(scene):
+    """Static: can the megakernel run this scene's image textures?
+    Albedo maps up to KTEX_MAX_SIDE; BUMPTEX stays on the XLA engine
+    (its 6-tap finite-difference + normal chain isn't worth VMEM yet)."""
+    used = _used_textures(scene)
+    if not used:
+        return False
+    if any(t >= 0 for t in scene.bump_texture_ids):
+        return False
+    return all(
+        max(scene.textures[t].shape[0], scene.textures[t].shape[1])
+        <= KTEX_MAX_SIDE
+        for t in used
+    )
+
+
+def _tex_spec(scene):
+    """Static per-geom texture chart: tuple of (flat_offset, H, W) per
+    geom — (-1, 0, 0) for untextured geoms.  Offsets index the
+    concatenated flat tables built by :func:`_pack_textures`."""
+    used = _used_textures(scene)
+    offs = {}
+    off = 0
+    for t in used:
+        h, w = int(scene.textures[t].shape[0]), int(
+            scene.textures[t].shape[1]
+        )
+        offs[t] = (off, h, w)
+        off += h * w
+    out = []
+    for mid in np.asarray(scene.geoms.material_id):
+        t = scene.texture_ids[int(mid)]
+        out.append(offs.get(t, (-1, 0, 0)) if t >= 0 else (-1, 0, 0))
+    return tuple(out)
+
+
+def _pack_textures(scene):
+    """(texr, texg, texb): per-channel flat texture tables, each
+    (HWtot, LANES) f32 lane-replicated (every lane holds the same flat
+    texture) so :func:`_tex_fetch`'s sublane gather addresses any texel
+    from any lane."""
+    used = _used_textures(scene)
+    outs = []
+    for c in range(3):
+        flat = jnp.concatenate([
+            jnp.asarray(scene.textures[t], jnp.float32)[:, :, c]
+            .reshape(-1)
+            for t in used
+        ])
+        outs.append(jnp.broadcast_to(flat[:, None],
+                                     (flat.shape[0], LANES)))
+    return tuple(outs)
+
+
+def _pack_scene(scene, tex_geom=()):
+    """Scene pytree -> (cam (1,16), mats (G,16), gmat (G,36)) f32.
+
+    ``tex_geom`` (static, from :func:`_tex_spec`, () = textures off)
+    adds the per-tri texture chart/vt columns to the triangle tables."""
     width, height = scene.resolution
     view, right, up, tan_x, tan_y = camera_basis(
         scene.camera, width, height
@@ -1359,6 +1726,10 @@ def _pack_scene(scene):
              else jnp.zeros((m.count,), jnp.float32))
     bmp_k = (m.bump_strength if m.bump_strength is not None
              else jnp.zeros((m.count,), jnp.float32))
+    sss_s = (m.sss_sigma if m.sss_sigma is not None
+             else jnp.zeros((m.count,), jnp.float32))
+    sss_a = (m.sss_albedo if m.sss_albedo is not None
+             else jnp.ones((m.count, 3), jnp.float32))
     mats = jnp.concatenate([
         m.color[mid], m.spec_color[mid],
         m.spec_exponent[mid][:, None], m.has_reflective[mid][:, None],
@@ -1368,7 +1739,9 @@ def _pack_scene(scene):
         jnp.asarray(chk_c, jnp.float32)[mid],            # 12..14
         jnp.asarray(bmp_s, jnp.float32)[mid][:, None],   # 15
         jnp.asarray(bmp_k, jnp.float32)[mid][:, None],   # 16
-        jnp.zeros((mid.shape[0], 7), jnp.float32),
+        jnp.asarray(sss_s, jnp.float32)[mid][:, None],   # 17 (SSS sigma)
+        jnp.asarray(sss_a, jnp.float32)[mid],            # 18..20 (albedo)
+        jnp.zeros((mid.shape[0], 3), jnp.float32),
     ], axis=1)  # (G,24)
 
     fwd, inv, inv_t = geom_transforms(scene.geoms)
@@ -1386,6 +1759,33 @@ def _pack_scene(scene):
         push,                            # 36 (transmission push epsilon)
         jnp.zeros((fwd.shape[0], 3), jnp.float32),
     ], axis=1)  # (G,40)
+
+    def _tri_uv_cols(order=None, with_chart=False):
+        """Per-tri vt columns (T, 6) — barycentric-identity when the
+        OBJ had none (ops/intersect.py _fold_triangles default) — and,
+        for the legacy fori_loop path whose tri index is traced,
+        prepended per-tri (t_off, t_h, t_w) chart columns (T, 9).
+        jnp-only: runs under jit with traced scene leaves."""
+        t_count_l = int(scene.mesh.tri_verts.shape[0])
+        uv = scene.mesh.tri_uv
+        if uv is None:
+            uv_t = jnp.broadcast_to(
+                jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                            jnp.float32)[None],
+                (t_count_l, 3, 2),
+            )
+        else:
+            uv_t = jnp.asarray(uv, jnp.float32)
+            if order is not None:
+                uv_t = uv_t[jnp.asarray(order)]
+        cols = uv_t.reshape(-1, 6)
+        if with_chart:
+            tg_l = jnp.asarray(scene.mesh.tri_geom)
+            if order is not None:
+                tg_l = tg_l[jnp.asarray(order)]
+            chart = jnp.asarray(tex_geom, jnp.float32)[tg_l]  # (T,3)
+            cols = jnp.concatenate([chart, cols], axis=1)
+        return cols
 
     tri = None
     nodes = None
@@ -1405,10 +1805,19 @@ def _pack_scene(scene):
             n_obj = n_obj / jnp.maximum(
                 jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
             )
-            tri = jnp.concatenate([
-                v0, e1, e2, n_obj,
-                jnp.zeros((tv.shape[0], 4), jnp.float32),
-            ], axis=1)  # (T,16)
+            if tex_geom:
+                # vt corners at cols 12..17 (chart is geom-static in
+                # the BVH branch) -> (T, 24)
+                tri = jnp.concatenate([
+                    v0, e1, e2, n_obj,
+                    _tri_uv_cols(order),
+                    jnp.zeros((tv.shape[0], 6), jnp.float32),
+                ], axis=1)  # (T,24)
+            else:
+                tri = jnp.concatenate([
+                    v0, e1, e2, n_obj,
+                    jnp.zeros((tv.shape[0], 4), jnp.float32),
+                ], axis=1)  # (T,16)
             nodes = jnp.asarray(scene.mesh.bvh_nodes, jnp.float32)
         else:
             tg = scene.mesh.tri_geom
@@ -1422,6 +1831,11 @@ def _pack_scene(scene):
             )
             tmats = mats[:, :11][tg]  # per-geom material rows -> per-tri
             t_count = tv.shape[0]
+            texcols = (
+                [_tri_uv_cols(with_chart=True)]        # 67..75 (tex)
+                if tex_geom else []
+            )
+            pad0 = 128 - 67 - (9 if tex_geom else 0)
             tri = jnp.concatenate([
                 inv[tg][:, :3, :].reshape(-1, 12),     # 0..11
                 fwd[tg][:, :3, :].reshape(-1, 12),     # 12..23
@@ -1432,7 +1846,8 @@ def _pack_scene(scene):
                 mats[:, 11:17][tg],                    # 59..64 (checker+bump)
                 jnp.asarray(tg, jnp.float32)[:, None], # 65 (geom idx)
                 push[tg],                              # 66 (transmission push)
-                jnp.zeros((t_count, 128 - 67), jnp.float32),
+            ] + texcols + [
+                jnp.zeros((t_count, pad0), jnp.float32),
             ], axis=1)  # (T,128)
     return cam, mats, gmat, tri, nodes
 
@@ -1442,11 +1857,12 @@ def _pack_scene(scene):
                                              "early_exit", "n_spp",
                                              "features", "nee_lights",
                                              "grad_mats", "bvh_meta",
-                                             "rr_mode"))
+                                             "rr_mode", "tex_geom"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
-         features=(True,) * 6, nee_lights=(), grad_mats=(),
-         mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False):
+         features=(True,) * 7, nee_lights=(), grad_mats=(),
+         mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False,
+         tex_geom=(), texs=None):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -1454,13 +1870,15 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     n_tris = 0 if tri is None else tri.shape[0]
     grad_mode = bool(grad_mats)
     bvh_meta = bvh_meta if n_tris else ()
+    tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
+    assert not (tex_mode and grad_mode)
 
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
         n_spp=n_spp, features=features, nee_lights=nee_lights,
         grad_mats=grad_mats, early_exit=early_exit, bvh_meta=bvh_meta,
-        rr_mode=rr_mode,
+        rr_mode=rr_mode, tex_geom=tex_geom if tex_mode else (),
     )
     tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
@@ -1476,6 +1894,8 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if nee_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
+    if tex_mode:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3  # tex rgb
     if grad_mode:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mtab
         in_specs += [tile_block(), tile_block(), tile_block()]   # ct rgb
@@ -1504,6 +1924,8 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
             args.append(nodes)
     if nee_lights:
         args.append(lights)
+    if tex_mode:
+        args += list(texs)
     if grad_mode:
         args.append(mtab)
         args += list(ct)
@@ -1599,35 +2021,39 @@ def _scene_features(scene):
         scene.geoms.velocity is not None,
         scene.materials.checker_scale is not None,
         scene.materials.bump_strength is not None,
+        scene.materials.sss_sigma is not None,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit",
-                                             "features", "nee", "rr"))
+                                             "features", "nee", "rr",
+                                             "tex_geom"))
 def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
-                   rr=False):
-    cam, mats, gmat, tri, nodes = _pack_scene(scene)
+                   rr=False, tex_geom=()):
+    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
+    texs = _pack_textures(scene) if tex_geom else None
     return _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, 1, features,
         nee_lights, nodes=nodes, bvh_meta=scene.mesh.bvh_meta,
-        rr_mode=rr,
+        rr_mode=rr, tex_geom=tex_geom, texs=texs,
     )
 
 
-def _sss_fallback(scene):
-    # SSS and image textures run on the XLA engine (in-kernel texture
-    # sampling is the lane-gather design tracked for this round;
-    # falling back beats silently rendering untextured)
-    return (
-        scene.materials.sss_sigma is not None
-        or any(t >= 0 for t in scene.texture_ids)
+def _xla_fallback(scene):
+    # BUMPTEX and oversized image textures run on the XLA engine
+    # (in-kernel albedo textures are capped at KTEX_MAX_SIDE by the
+    # lane-replicated VMEM table design — see _tex_fetch; falling back
+    # beats silently rendering untextured)
+    has_tex = (
+        any(t >= 0 for t in scene.texture_ids)
         or any(t >= 0 for t in scene.bump_texture_ids)
     )
+    return has_tex and not _tex_in_kernel(scene)
 
 
 def pathtrace_iteration_pallas(scene, it, interpret=False,
@@ -1638,13 +2064,14 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
     including scene packing — eager packing ops cost a host round-trip
     each on the TPU tunnel.
     """
-    if _sss_fallback(scene):
+    if _xla_fallback(scene):
         from ...render.integrator import pathtrace_iteration
 
         return pathtrace_iteration(scene, it, nee=nee, rr=rr)
+    tex_geom = _tex_spec(scene) if _tex_in_kernel(scene) else ()
     return _iteration_jit(
         scene, it, interpret, early_exit, _scene_features(scene), nee,
-        rr,
+        rr, tex_geom,
     )
 
 
@@ -1657,34 +2084,37 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     Not itself jitted: scene feature flags are derived eagerly from the
     concrete scene, then everything runs under _batch_jit.
     """
-    if _sss_fallback(scene):
+    if _xla_fallback(scene):
         from ...render.integrator import pathtrace_batch
 
         rad, counts = pathtrace_batch(
             scene, it0, n_iters, remat=False, nee=nee, rr=rr
         )
         return rad, jnp.sum(counts, axis=0)  # (depth,) like the kernel
+    tex_geom = _tex_spec(scene) if _tex_in_kernel(scene) else ()
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
-        _scene_features(scene), nee, rr,
+        _scene_features(scene), nee, rr, tex_geom,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
                                              "early_exit", "features",
-                                             "nee", "rr"))
+                                             "nee", "rr", "tex_geom"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
-               nee=False, rr=False):
-    cam, mats, gmat, tri, nodes = _pack_scene(scene)
+               nee=False, rr=False, tex_geom=()):
+    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
+    texs = _pack_textures(scene) if tex_geom else None
     rad, counts = _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, n_iters,
         features, nee_lights, nodes=nodes,
-        bvh_meta=scene.mesh.bvh_meta, rr_mode=rr,
+        bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
+        texs=texs,
     )
     return rad, counts
 
@@ -1767,6 +2197,15 @@ def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
             "material_grads_pallas does not support SSS materials; "
             "use render.diff.render_loss_and_grad"
         )
+    if any(t >= 0 for t in scene.texture_ids) or any(
+        t >= 0 for t in scene.bump_texture_ids
+    ):
+        raise NotImplementedError(
+            "material_grads_pallas does not support image-textured "
+            "materials (the per-path color-factor count assumes the "
+            "albedo is the material RGB); use "
+            "render.diff.render_loss_and_grad"
+        )
     if scene.materials.count > 128:
         raise NotImplementedError(
             "material_grads_pallas supports at most 128 materials "
@@ -1787,7 +2226,7 @@ def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
 
 def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 width, height, depth, n_pixels, n_tris=0, n_spp=1,
-                features=(True,) * 6, nee_lights=()):
+                features=(True,) * 7, nee_lights=()):
     """Fused value-and-gradient tile kernel: ``jax.vjp`` straight
     through the VMEM trace.
 
@@ -1933,7 +2372,7 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     "features", "nee_lights"))
 def _run_vjp(cam, mats, gmat, tri, lights, ct_planes, it, resolution,
              trace_depth, geom_types, interpret=False, n_spp=1,
-             features=(True,) * 6, nee_lights=()):
+             features=(True,) * 7, nee_lights=()):
     """pallas_call wrapper for :func:`_vjp_kernel`.  Returns
     (radiance (P,3), d_cam, d_mats, d_gmat[, d_lights]) — gradients of
     ``sum(ct * radiance)`` w.r.t. the packed tables."""
@@ -2060,7 +2499,7 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     parameter chaining through scene packing happens host-side via the
     same differentiable code the XLA engine uses.
 
-    Triangle-mesh and SSS scenes fall back to
+    Triangle-mesh and image-textured scenes fall back to
     render.diff.render_value_and_pixel_grad semantics (XLA autodiff).
 
     Returns (accumulated radiance (P,3), grads dict matching
@@ -2068,9 +2507,12 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     """
     from ...render.diff import split_params
 
-    if _sss_fallback(scene) or scene.mesh.count:
+    has_tex = any(t >= 0 for t in scene.texture_ids) or any(
+        t >= 0 for t in scene.bump_texture_ids
+    )
+    if has_tex or scene.mesh.count:
         raise NotImplementedError(
-            "render_vjp_pallas: SSS / mesh scenes use "
+            "render_vjp_pallas: textured / mesh scenes use "
             "render.diff.render_loss_and_grad (XLA autodiff)"
         )
     params = split_params(scene)

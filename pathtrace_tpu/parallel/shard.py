@@ -138,18 +138,29 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     the way the CPU-mesh tests exercise this exact sharded program.
     ``n_iters`` must be a multiple of the mesh size.
     """
-    from ..ops.pallas.megakernel import _batch_jit, _scene_features
+    from ..ops.pallas.megakernel import (
+        _batch_jit, _scene_features, _tex_in_kernel, _tex_spec,
+        _xla_fallback,
+    )
 
+    if _xla_fallback(scene):
+        raise NotImplementedError(
+            "render_sample_sharded_pallas: this scene's textures "
+            "exceed the in-kernel ceiling; use the XLA engine "
+            "(render_sample_sharded)"
+        )
     ndev = mesh.devices.size
     if n_iters % ndev:
         raise ValueError(f"n_iters={n_iters} not divisible by {ndev}")
     per_dev = n_iters // ndev
     its0 = it0 + jnp.arange(ndev, dtype=jnp.int32) * per_dev
     features = _scene_features(scene)
+    tex_geom = _tex_spec(scene) if _tex_in_kernel(scene) else ()
 
     def body(scene, it0_local):
         rad, counts = _batch_jit(
-            scene, it0_local[0], per_dev, interpret, False, features
+            scene, it0_local[0], per_dev, interpret, False, features,
+            tex_geom=tex_geom,
         )
         return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
 
@@ -251,13 +262,16 @@ def sharded_grad_step_pallas(scene: Scene, target, it0: int,
     the sharded training step); reference loop src/pathtrace.cu:135-158.
     """
     from ..ops.pallas.megakernel import (
-        _batch_jit, _render_vjp_jit, _scene_features, _sss_fallback,
+        _batch_jit, _render_vjp_jit, _scene_features,
     )
     from ..render.diff import merge_params, split_params
 
-    if _sss_fallback(scene) or scene.mesh.count:
+    has_tex = any(t >= 0 for t in scene.texture_ids) or any(
+        t >= 0 for t in scene.bump_texture_ids
+    )
+    if has_tex or scene.mesh.count:
         raise NotImplementedError(
-            "sharded_grad_step_pallas: SSS/textured/mesh scenes use "
+            "sharded_grad_step_pallas: textured/mesh scenes use "
             "sharded_grad_step (XLA autodiff)"
         )
     ndev = mesh.devices.size

@@ -14,12 +14,15 @@ repo's existing CHECKER/BUMP lines:
 Paths resolve relative to the scene file.  Textures are decoded with
 PIL, converted to float32 in [0,1] (no gamma transform — the reference
 samples stb's raw 8-bit values; document-and-preserve), deduplicated by
-absolute path, and **downsampled to at most 128x128**: the Pallas
-megakernel samples textures VMEM-resident with a lane-axis gather per
-row block, which caps the width at the 128-lane register shape (and
-keeping H<=128 bounds the in-kernel row sweep).  The XLA engine has no
-such limit, but both engines must sample identical tables for parity,
-so the cap is applied at load.
+absolute path, and **downsampled to at most 128x128** at load.  The
+Pallas megakernel runs albedo textures in-kernel up to **64x64**
+(megakernel.KTEX_MAX_SIDE): each used texture is flattened and
+lane-replicated to an (H*W, 128) f32 VMEM table per channel, because
+the only gather Mosaic lowers is the equal-shape sublane
+``take_along_axis`` (tpu.dynamic_gather) — 2 MB/channel at 64x64.
+Larger albedo maps and all BUMPTEX maps fall back to the XLA engine.
+Both engines sample identical tables, so engine parity holds wherever
+the kernel path is eligible.
 
 Sampling is bilinear with repeat wrapping in normalized (u,v)
 ([0,1) maps across the image; v=0 is row 0).  ``sample_texture`` is

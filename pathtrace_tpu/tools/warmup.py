@@ -34,7 +34,8 @@ def main(argv=None) -> int:
     scenes = (argv if argv else sys.argv[1:]) or [
         os.path.join(here, "scenes", s)
         for s in ("cornell.txt", "sphere.txt", "cornell_glass.txt",
-                  "cornell_checker.txt", "cornell_mesh.txt")
+                  "cornell_checker.txt", "cornell_mesh.txt",
+                  "cornell_bigmesh.txt")
     ]
     chunks = [int(c) for c in
               os.environ.get("PT_WARMUP_CHUNKS", "8,100,500").split(",")]

@@ -375,3 +375,72 @@ class TestAnisotropicSphereLightNEE:
         rj, _ = pt.pathtrace_iteration(s, 1, nee=True)
         d = np.abs(np.asarray(rp) - np.asarray(rj)).max(axis=-1)
         assert (d > 1e-3).mean() < 0.01
+
+
+class TestScalarRederivation:
+    """Independent pencil-and-paper check of the NEE estimator term —
+    NOT the shared ops code re-run (VERDICT: the oracle shares ops/, so
+    these scalar re-derivations carry the math-correctness burden).
+
+    Rendering equation, direct term, area sampling:
+      L_o = f_d * E * A * cos(th_s) cos(th_l) / r^2,  f_d = albedo/pi
+    """
+
+    def test_overhead_light_closed_form(self):
+        from pathtrace_tpu.ops.lights import nee_contribution
+
+        albedo = np.array([[0.6, 0.5, 0.4]], np.float32)
+        # receiver at origin facing +y; sample 2 above, facing down;
+        # area 4, emission 5: L = albedo/pi * 5 * 4 * (1*1/4) = 5a/pi
+        out = nee_contribution(
+            np.zeros((1, 3), np.float32),
+            np.array([[0.0, 1.0, 0.0]], np.float32),
+            albedo,
+            np.ones((1, 3), np.float32),
+            np.array([[0.0, 2.0, 0.0]], np.float32),
+            np.array([[0.0, -1.0, 0.0]], np.float32),
+            np.array([4.0], np.float32),
+            np.array([5.0, 5.0, 5.0], np.float32),
+            np.array([False]),
+            xp=np,
+        )
+        np.testing.assert_allclose(
+            out, albedo * 5.0 / np.pi, rtol=1e-6
+        )
+
+    def test_oblique_light_closed_form(self):
+        from pathtrace_tpu.ops.lights import nee_contribution
+
+        # sample at (1,1,0): w = (1,1,0)/sqrt2, cos_s = 1/sqrt2,
+        # light normal (0,-1,0): cos_l = 1/sqrt2, r^2 = 2
+        # => G = (1/2)/2 = 1/4
+        albedo = np.array([[1.0, 1.0, 1.0]], np.float32)
+        out = nee_contribution(
+            np.zeros((1, 3), np.float32),
+            np.array([[0.0, 1.0, 0.0]], np.float32),
+            albedo,
+            np.ones((1, 3), np.float32),
+            np.array([[1.0, 1.0, 0.0]], np.float32),
+            np.array([[0.0, -1.0, 0.0]], np.float32),
+            np.array([2.0], np.float32),
+            np.array([3.0, 3.0, 3.0], np.float32),
+            np.array([False]),
+            xp=np,
+        )
+        np.testing.assert_allclose(
+            out, np.full((1, 3), 3.0 * 2.0 * 0.25 / np.pi), rtol=1e-6
+        )
+        # backfacing light sample contributes nothing
+        out2 = nee_contribution(
+            np.zeros((1, 3), np.float32),
+            np.array([[0.0, 1.0, 0.0]], np.float32),
+            albedo,
+            np.ones((1, 3), np.float32),
+            np.array([[1.0, 1.0, 0.0]], np.float32),
+            np.array([[0.0, 1.0, 0.0]], np.float32),  # facing away
+            np.array([2.0], np.float32),
+            np.array([3.0, 3.0, 3.0], np.float32),
+            np.array([False]),
+            xp=np,
+        )
+        assert float(np.abs(out2).max()) == 0.0

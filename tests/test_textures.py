@@ -260,3 +260,157 @@ class TestRenderParity:
             lambda: trace_pixels(flat, 1, pix, remat=False, nee=True)
         )()
         assert float(jnp.abs(r1 - r2).max()) > 1e-3
+
+
+class TestPallasInKernel:
+    """Round-2: albedo textures run INSIDE the megakernel (<=64x64,
+    KTEX_MAX_SIDE): lane-replicated flat VMEM tables + the equal-shape
+    sublane dynamic-gather (megakernel._tex_fetch), one bilinear sample
+    per bounce after the intersection fold.  Engine parity on every
+    textured primitive class; fallback conditions still hold."""
+
+    SCENE = """\
+MATERIAL 0
+RGB         1 1 1
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .9 .9 .9
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+TEXTURE     t32.png
+
+CAMERA
+RES         40 40
+FOVY        45
+ITERATIONS  4
+DEPTH       4
+FILE        ktex
+EYE         0 1 8
+VIEW        0 0 -1
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 6 0
+ROTAT       0 0 0
+SCALE       4 .3 4
+
+OBJECT 1
+cube
+material 1
+TRANS       -2 0 0
+ROTAT       0 25 0
+SCALE       2.2 2.2 2.2
+
+OBJECT 2
+sphere
+material 1
+TRANS       2 0 1
+ROTAT       0 0 0
+SCALE       2 2 2
+"""
+
+    @pytest.fixture(scope="class")
+    def ktex_dir(self, tmp_path_factory):
+        from PIL import Image
+
+        td = tmp_path_factory.mktemp("ktex")
+        rs = np.random.RandomState(3)
+        Image.fromarray(
+            (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+        ).save(str(td / "t32.png"))
+        (td / "quad.obj").write_text(
+            "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+            "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n"
+        )
+        return str(td)
+
+    def test_primitives_parity(self, ktex_dir):
+        """Textured cube + sphere: kernel (interpret) vs XLA engine.
+        The sphere UV chart uses the kernel's polynomial atan2/asin
+        (Mosaic has no transcendental lowering) — error ~1e-7 rad, so
+        only boundary-texel tie flips may differ."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, _xla_fallback, pathtrace_iteration_pallas,
+        )
+
+        scene = pt.parse_scene(self.SCENE, base_dir=ktex_dir)
+        assert _tex_in_kernel(scene) and not _xla_fallback(scene)
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rj, _ = pt.pathtrace_iteration(scene, 1)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 2e-3).mean() < 0.005
+        # the texture is actually sampled (disable -> image changes)
+        flat = dc.replace(scene, texture_ids=(-1, -1))
+        rp2, _ = pathtrace_iteration_pallas(flat, 1, interpret=True)
+        assert not np.array_equal(np.asarray(rp), np.asarray(rp2))
+
+    def test_mesh_vt_parity(self, ktex_dir):
+        """Textured mesh through BOTH triangle paths (BVH leaf and the
+        legacy fori_loop fold): vt interpolation is pure arithmetic, so
+        parity is exact up to f32 tie flips."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_iteration_pallas,
+        )
+
+        text = self.SCENE + (
+            "\nOBJECT 3\nmesh quad.obj\nmaterial 1\n"
+            "TRANS       0 0 2\nROTAT       0 15 0\nSCALE       1.5 1.5 1.5\n"
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert scene.mesh.tri_uv is not None and scene.mesh.bvh_meta
+        rj, _ = pt.pathtrace_iteration(scene, 1)
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 2e-3).mean() < 0.005
+        legacy = dc.replace(
+            scene,
+            mesh=dc.replace(scene.mesh, bvh_nodes=None, bvh_order=None,
+                            bvh_meta=()),
+        )
+        rp2, _ = pathtrace_iteration_pallas(legacy, 1, interpret=True)
+        d2 = np.abs(np.asarray(rp2) - np.asarray(rj)).max(-1)
+        assert (d2 > 2e-3).mean() < 0.005
+
+    def test_fallback_conditions(self, tex_scene):
+        """BUMPTEX scenes (cornell_tex.txt) still fall back to the XLA
+        engine bit-for-bit; material_grads_pallas rejects textures."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, _xla_fallback, material_grads_pallas,
+            pathtrace_iteration_pallas,
+        )
+
+        assert _xla_fallback(tex_scene) and not _tex_in_kernel(tex_scene)
+        small = dc.replace(tex_scene, resolution=(16, 16), trace_depth=2)
+        rp, _ = pathtrace_iteration_pallas(small, 1)
+        rj, _ = pt.pathtrace_iteration(small, 1)
+        np.testing.assert_array_equal(np.asarray(rp), np.asarray(rj))
+        with pytest.raises(NotImplementedError, match="texture"):
+            material_grads_pallas(
+                small, np.ones((small.pixel_count, 3), np.float32), 1, 1
+            )
+
+    def test_atan2_asin_polynomials(self):
+        """The kernel's transcendental stand-ins vs numpy, full range."""
+        from pathtrace_tpu.ops.pallas.megakernel import _asin, _atan2
+
+        rs = np.random.RandomState(0)
+        y = (rs.rand(32, 128) * 4 - 2).astype(np.float32)
+        x = (rs.rand(32, 128) * 4 - 2).astype(np.float32)
+        got = np.asarray(jax.jit(_atan2)(y, x))
+        np.testing.assert_allclose(got, np.arctan2(y, x), atol=5e-7)
+        t = (rs.rand(32, 128) * 2 - 1).astype(np.float32)
+        got = np.asarray(jax.jit(_asin)(t))
+        np.testing.assert_allclose(got, np.arcsin(t), atol=1e-5)

@@ -72,10 +72,85 @@ def _assert_close(a, b, rtol=2e-4, atol=3e-4):
 
 
 class TestReverseSweep:
-    def test_materials_cornell(self, cornell_scene):
-        scene = dc.replace(
-            cornell_scene, resolution=(16, 16), trace_depth=3
-        )
+    # Compact 4-geom cornell-like rig.  The unrolled fwd+bwd interpret
+    # graph scales with geoms x depth, and interpret-mode pallas uses
+    # callbacks, so these compiles are NOT persistently cacheable —
+    # every suite run pays them.  The full 8-geom cornell versions of
+    # these tests compiled for 30-50 min each run; this rig covers the
+    # same gradient structure (emissive light, two diffuse walls at
+    # different orientations, one reflective sphere) in minutes.
+    RIG = """\
+MATERIAL 0
+RGB         1 .95 .85
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .85 .4 .35
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+MATERIAL 2
+RGB         .5 .6 .9
+SPECEX      0
+SPECRGB     .9 .9 .9
+REFL        .4
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+CAMERA
+RES         16 16
+FOVY        45
+ITERATIONS  8
+DEPTH       3
+FILE        vjprig
+EYE         0 2 9
+VIEW        0 -.1 -1
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 7 0
+ROTAT       0 0 0
+SCALE       4 .3 4
+
+OBJECT 1
+cube
+material 1
+TRANS       0 -1 0
+ROTAT       0 10 0
+SCALE       10 .3 10
+
+OBJECT 2
+cube
+material 1
+TRANS       -4 2 -1
+ROTAT       0 0 -12
+SCALE       .3 8 8
+
+OBJECT 3
+sphere
+material 2
+TRANS       1.5 1 0
+ROTAT       0 0 0
+SCALE       2.5 2.5 2.5
+"""
+
+    def _rig(self, depth=3):
+        return dc.replace(pt.parse_scene(self.RIG), trace_depth=depth)
+
+    def test_materials(self):
+        scene = self._rig()
         ct = _masked_ct(scene, nee=False)
         _, g = render_vjp_pallas(scene, ct, 1, 1, interpret=True)
         gref = _ref_grads(scene, ct, nee=False)
@@ -88,12 +163,10 @@ class TestReverseSweep:
             gref["materials"].has_reflective,
         )
 
-    def test_geometry_camera_nee(self, cornell_scene):
+    def test_geometry_camera_nee(self):
         """The headline case: nonzero TRS + camera + light grads via
         the NEE geometric term, matching autodiff."""
-        scene = dc.replace(
-            cornell_scene, resolution=(16, 16), trace_depth=3
-        )
+        scene = self._rig()
         ct = _masked_ct(scene, nee=True)
         _, g = render_vjp_pallas(scene, ct, 1, 1, interpret=True,
                                  nee=True)
@@ -112,22 +185,63 @@ class TestReverseSweep:
             g["materials"].emittance, gref["materials"].emittance
         )
 
+    GLASS_SCENE = """\
+MATERIAL 0
+RGB         1 .9 .8
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .98 .98 .98
+SPECEX      0
+SPECRGB     .98 .98 .98
+REFL        0
+REFR        1
+REFRIOR     1.5
+EMITTANCE   0
+
+CAMERA
+RES         16 16
+FOVY        45
+ITERATIONS  8
+DEPTH       3
+FILE        vjpglass
+EYE         0 0 8
+VIEW        0 0 -1
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 0 -6
+ROTAT       0 0 0
+SCALE       6 6 .3
+
+OBJECT 1
+sphere
+material 1
+TRANS       0 0 0
+ROTAT       0 0 0
+SCALE       3 3 3
+"""
+
     def test_glass_scene_grads(self):
-        """Glass scene through the reverse sweep.  IOR grads are a.e.
-        zero by design (detached lobe choice + 1/p cancellation —
+        """Glass through the reverse sweep.  IOR grads are a.e. zero by
+        design (detached lobe choice + 1/p cancellation —
         tests/test_diff.py::test_ior_grad_finite documents the same for
         the XLA engine); what must match is that the sweep reproduces
-        autodiff exactly, zeros included."""
-        # depth 3 (enter glass / exit / hit light) keeps the unrolled
-        # fwd+bwd graph tractable for the XLA-CPU interpret compile —
-        # depth 4 with the glass feature set compiled for >40 min
+        autodiff exactly, zeros included.
+
+        The scene is a minimal 2-geom glass rig (emissive backdrop +
+        glass sphere, depth 3: enter / exit / hit light).  The unrolled
+        fwd+bwd interpret graph scales with geoms x depth — the 8-geom
+        cornell_glass at depth 4 compiled for >40 min on XLA-CPU."""
         scene = dc.replace(
-            pt.load_scene("scenes/cornell_glass.txt"),
-            resolution=(16, 16), trace_depth=3,
-        )
-        scene = dc.replace(
-            scene,
-            camera=dc.replace(scene.camera, aperture=np.float32(0.0)),
+            pt.parse_scene(self.GLASS_SCENE), trace_depth=3
         )
         ct = _masked_ct(scene, nee=False)
         _, g = render_vjp_pallas(scene, ct, 1, 1, interpret=True)
@@ -140,10 +254,8 @@ class TestReverseSweep:
                       gref["materials"].spec_color,
                       rtol=1e-3, atol=1e-3)
 
-    def test_multi_spp(self, cornell_scene):
-        scene = dc.replace(
-            cornell_scene, resolution=(12, 12), trace_depth=3
-        )
+    def test_multi_spp(self):
+        scene = dc.replace(self._rig(), resolution=(12, 12))
         ct = _masked_ct(scene, nee=True, n_spp=2)
         _, g = render_vjp_pallas(scene, ct, 1, 2, interpret=True,
                                  nee=True)
