@@ -312,6 +312,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         rays.  Returns plane dict.  ``live`` (optional f32 bool plane)
         only narrows BVH traversal: dead lanes stop pulling nodes into
         the any-lane test (their best entries are unused by shade)."""
+        tex_here = tex_mode and want_tex  # shadow rays skip textures
         big = jnp.float32(NO_HIT)
         best = dict(
             dist=jnp.full((SUB, LANES), big, jnp.float32),
@@ -335,14 +336,20 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
             push=jnp.zeros((SUB, LANES), jnp.float32),
         )
-        if tex_mode:
+        if tex_here:
             # winner texture chart: flat table offset (-1 = none) + the
-            # texture's (H, W) + hit UV — sampled ONCE after the fold
+            # texture's (H, W) + hit UV — sampled ONCE after the fold.
+            # With CHECKER on the same material the odd cells REPLACE
+            # the albedo (integrator order: texture multiplies, checker
+            # then overrides — integrator._bounce:183-199), so the odd
+            # mask rides along to gate the texel multiply off.
             best["t_off"] = jnp.full((SUB, LANES), -1.0, jnp.float32)
             best["t_h"] = jnp.zeros((SUB, LANES), jnp.float32)
             best["t_w"] = jnp.zeros((SUB, LANES), jnp.float32)
             best["u"] = jnp.zeros((SUB, LANES), jnp.float32)
             best["v"] = jnp.zeros((SUB, LANES), jnp.float32)
+            if has_checker:
+                best["t_chk"] = jnp.zeros((SUB, LANES), jnp.float32)
 
         for g, gtype in enumerate(geom_types):
             if gtype == T.MESH:
@@ -501,8 +508,14 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 m_ior=sel(mt(9), best["m_ior"]),
                 m_emit=sel(mt(10), best["m_emit"]),
             )
-            if tex_mode:
+            if tex_here:
                 g_off, g_h, g_w = tex_geom[g]
+                if has_checker:
+                    upd["t_chk"] = sel(
+                        jnp.where(odd, 1.0, 0.0).astype(jnp.float32)
+                        if has_checker else 0.0,
+                        best["t_chk"],
+                    )
                 if g_off >= 0:
                     # parametric UV chart (ops/intersect.py
                     # _one_sphere/_one_box want_uv semantics)
@@ -658,10 +671,16 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     m_ior=sel(m(54), best["m_ior"]),
                     m_emit=sel(m(55), best["m_emit"]),
                 )
-                if tex_mode:
+                if tex_here:
                     # per-tri chart cols 67..69, vt corners 70..75
                     # (barycentric interpolation, _one_triangle uv3)
                     bw = 1.0 - u - vv
+                    if has_checker:
+                        out_t["t_chk"] = sel(
+                            jnp.where(odd, 1.0, 0.0)
+                            .astype(jnp.float32),
+                            best["t_chk"],
+                        )
                     out_t["t_off"] = sel(
                         jnp.full((SUB, LANES), m(67), jnp.float32),
                         best["t_off"],
@@ -846,11 +865,17 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         m_ior=sel(mt(9), best["m_ior"]),
                         m_emit=sel(mt(10), best["m_emit"]),
                     )
-                    if tex_mode:
+                    if tex_here:
                         # geom-static chart + vt corners at compact
                         # cols 12..17 (barycentric interp)
                         g_off, g_h, g_w = tex_geom[g]
                         bw = 1.0 - u - vv
+                        if has_checker:
+                            best["t_chk"] = sel(
+                                jnp.where(odd, 1.0, 0.0)
+                                .astype(jnp.float32),
+                                prev["t_chk"],
+                            )
                         best["t_off"] = sel(
                             jnp.full((SUB, LANES), float(g_off),
                                      jnp.float32),
@@ -920,7 +945,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     (jnp.int32(0), best, t0),
                 )
 
-        if tex_mode and want_tex:
+        if tex_here:
             # ONE bilinear texture sample for the whole tile, after the
             # fold: the winner's (offset, H, W, u, v) planes address the
             # lane-replicated flat tables.  Math mirrors
@@ -946,6 +971,10 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             i10 = off_i + y1 * wi + x0
             i11 = off_i + y1 * wi + x1
             tex_on = best["t_off"] >= 0.0
+            if has_checker:
+                # integrator composition order: checker REPLACES the
+                # (textured) albedo on odd cells
+                tex_on = tex_on & (best["t_chk"] < 0.5)
             for ch, tab in (("mc_r", texr), ("mc_g", texg),
                             ("mc_b", texb)):
                 c00 = _tex_fetch(tab, i00)
@@ -1630,39 +1659,58 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 # host wrapper
 # ----------------------------------------------------------------------------
 
-# in-kernel image-texture ceiling: each used texture's flat table is
+# in-kernel image-texture ceilings: each used texture's flat table is
 # lane-replicated to (H*W, 128) f32 in VMEM (the equal-shape sublane
 # dynamic-gather is the only gather Mosaic lowers, see _tex_fetch), so
-# a 64x64 texture costs 2 MB/channel; beyond this the scene falls back
-# to the XLA engine (scene/textures.py caps loads at 128x128).
+# a 64x64 texture costs 2 MB/channel.  KTEX_MAX_TEXELS bounds the
+# TOTAL across all geom-referenced textures (tables + the broadcast
+# gather index live in the same 110 MB kernel VMEM budget as the
+# triangle/BVH tables); beyond either cap the scene falls back to the
+# XLA engine (scene/textures.py caps loads at 128x128).
 KTEX_MAX_SIDE = 64
+KTEX_MAX_TEXELS = 16384  # e.g. four 64x64 maps
 
 
-def _used_textures(scene):
-    return sorted({t for t in scene.texture_ids if t >= 0})
+def _tex_used(scene):
+    """Static: texture ids actually referenced by some geom's material,
+    in table-offset order.  Declared-but-unreferenced textures neither
+    occupy VMEM nor disqualify the scene (host-side only: reads
+    concrete material ids)."""
+    mids = {int(m) for m in np.asarray(scene.geoms.material_id)}
+    return tuple(sorted({
+        scene.texture_ids[m] for m in mids
+        if scene.texture_ids[m] >= 0
+    }))
 
 
 def _tex_in_kernel(scene):
     """Static: can the megakernel run this scene's image textures?
-    Albedo maps up to KTEX_MAX_SIDE; BUMPTEX stays on the XLA engine
-    (its 6-tap finite-difference + normal chain isn't worth VMEM yet)."""
-    used = _used_textures(scene)
+    Albedo maps up to KTEX_MAX_SIDE / KTEX_MAX_TEXELS total; BUMPTEX
+    stays on the XLA engine (its 6-tap finite-difference + normal
+    chain isn't worth VMEM yet)."""
+    used = _tex_used(scene)
     if not used:
         return False
     if any(t >= 0 for t in scene.bump_texture_ids):
         return False
-    return all(
+    if any(
         max(scene.textures[t].shape[0], scene.textures[t].shape[1])
-        <= KTEX_MAX_SIDE
+        > KTEX_MAX_SIDE
+        for t in used
+    ):
+        return False
+    total = sum(
+        int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
         for t in used
     )
+    return total <= KTEX_MAX_TEXELS
 
 
 def _tex_spec(scene):
     """Static per-geom texture chart: tuple of (flat_offset, H, W) per
     geom — (-1, 0, 0) for untextured geoms.  Offsets index the
     concatenated flat tables built by :func:`_pack_textures`."""
-    used = _used_textures(scene)
+    used = _tex_used(scene)
     offs = {}
     off = 0
     for t in used:
@@ -1678,12 +1726,14 @@ def _tex_spec(scene):
     return tuple(out)
 
 
-def _pack_textures(scene):
+def _pack_textures(scene, used):
     """(texr, texg, texb): per-channel flat texture tables, each
     (HWtot, LANES) f32 lane-replicated (every lane holds the same flat
     texture) so :func:`_tex_fetch`'s sublane gather addresses any texel
-    from any lane."""
-    used = _used_textures(scene)
+    from any lane.  ``used`` is the STATIC table order from
+    :func:`_tex_used` (this runs under jit on traced scenes).  Tables
+    are padded to at least SUB rows so the gather's [:SUB] slice is
+    always valid (a lone 4x4 texture is only 16 texels)."""
     outs = []
     for c in range(3):
         flat = jnp.concatenate([
@@ -1691,6 +1741,10 @@ def _pack_textures(scene):
             .reshape(-1)
             for t in used
         ])
+        if flat.shape[0] < SUB:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((SUB - flat.shape[0],), jnp.float32)]
+            )
         outs.append(jnp.broadcast_to(flat[:, None],
                                      (flat.shape[0], LANES)))
     return tuple(outs)
@@ -2027,14 +2081,14 @@ def _scene_features(scene):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit",
                                              "features", "nee", "rr",
-                                             "tex_geom"))
+                                             "tex_geom", "tex_used"))
 def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
-                   rr=False, tex_geom=()):
+                   rr=False, tex_geom=(), tex_used=()):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
-    texs = _pack_textures(scene) if tex_geom else None
+    texs = _pack_textures(scene, tex_used) if tex_geom else None
     return _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
@@ -2068,10 +2122,11 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
         from ...render.integrator import pathtrace_iteration
 
         return pathtrace_iteration(scene, it, nee=nee, rr=rr)
-    tex_geom = _tex_spec(scene) if _tex_in_kernel(scene) else ()
+    in_k = _tex_in_kernel(scene)
     return _iteration_jit(
         scene, it, interpret, early_exit, _scene_features(scene), nee,
-        rr, tex_geom,
+        rr, _tex_spec(scene) if in_k else (),
+        _tex_used(scene) if in_k else (),
     )
 
 
@@ -2091,23 +2146,26 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
             scene, it0, n_iters, remat=False, nee=nee, rr=rr
         )
         return rad, jnp.sum(counts, axis=0)  # (depth,) like the kernel
-    tex_geom = _tex_spec(scene) if _tex_in_kernel(scene) else ()
+    in_k = _tex_in_kernel(scene)
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
-        _scene_features(scene), nee, rr, tex_geom,
+        _scene_features(scene), nee, rr,
+        _tex_spec(scene) if in_k else (),
+        _tex_used(scene) if in_k else (),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
                                              "early_exit", "features",
-                                             "nee", "rr", "tex_geom"))
+                                             "nee", "rr", "tex_geom",
+                                             "tex_used"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
-               nee=False, rr=False, tex_geom=()):
+               nee=False, rr=False, tex_geom=(), tex_used=()):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
-    texs = _pack_textures(scene) if tex_geom else None
+    texs = _pack_textures(scene, tex_used) if tex_geom else None
     rad, counts = _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),

@@ -414,3 +414,75 @@ SCALE       2 2 2
         t = (rs.rand(32, 128) * 2 - 1).astype(np.float32)
         got = np.asarray(jax.jit(_asin)(t))
         np.testing.assert_allclose(got, np.arcsin(t), atol=1e-5)
+
+    def test_tiny_texture_pad(self, ktex_dir):
+        """A texture with fewer texels than the tile sublane count
+        (4x4 = 16 < SUB=32) must not break the gather's table/index
+        shapes (review finding: negative pad)."""
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, pathtrace_iteration_pallas,
+        )
+
+        rs = np.random.RandomState(9)
+        Image.fromarray(
+            (rs.rand(4, 4, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(ktex_dir, "t4.png"))
+        text = self.SCENE.replace("t32.png", "t4.png")
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert _tex_in_kernel(scene)
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rj, _ = pt.pathtrace_iteration(scene, 1)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 2e-3).mean() < 0.005
+
+    def test_checker_plus_texture_composition(self, ktex_dir):
+        """CHECKER + TEXTURE on one material: the integrator applies
+        the texture first and checker REPLACES on odd cells
+        (integrator._bounce order) — the kernel must match (review
+        finding: it multiplied the texel into checker cells)."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, pathtrace_iteration_pallas,
+        )
+
+        text = self.SCENE.replace(
+            "EMITTANCE   0\nTEXTURE     t32.png",
+            "EMITTANCE   0\nCHECKER     1.5 .1 .1 .6\n"
+            "TEXTURE     t32.png",
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert _tex_in_kernel(scene)
+        assert scene.materials.checker_scale is not None
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rj, _ = pt.pathtrace_iteration(scene, 1)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 2e-3).mean() < 0.005
+
+    def test_eligibility_caps(self, ktex_dir, tmp_path):
+        """Unreferenced textures neither disqualify nor pack; the
+        total-texel cap routes oversized scenes to the XLA engine."""
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            KTEX_MAX_TEXELS, _tex_in_kernel, _tex_used, _xla_fallback,
+        )
+
+        rs = np.random.RandomState(11)
+        Image.fromarray(
+            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(ktex_dir, "big.png"))
+        # an unreferenced material with an oversized texture: scene
+        # still runs in-kernel (review finding: per-material scan)
+        text = self.SCENE + (
+            "\nMATERIAL 2\nRGB 1 1 1\nSPECEX 0\nSPECRGB 0 0 0\n"
+            "REFL 0\nREFR 0\nREFRIOR 0\nEMITTANCE 0\n"
+            "TEXTURE big.png\n"
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert _tex_in_kernel(scene) and not _xla_fallback(scene)
+        assert len(_tex_used(scene)) == 1
+        # referenced oversized texture -> fallback
+        text2 = self.SCENE.replace("t32.png", "big.png")
+        scene2 = pt.parse_scene(text2, base_dir=ktex_dir)
+        assert not _tex_in_kernel(scene2) and _xla_fallback(scene2)
