@@ -34,12 +34,33 @@ def main():
     kernel = os.environ.get("PT_BENCH_KERNEL", "pallas")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+    # fail fast (not hang) if the axon relay is down: device init dials
+    # the tunnel from a C extension and blocks forever when the relay
+    # process is gone — a SIGALRM handler never runs (Python handlers
+    # fire between bytecodes), so use a watchdog THREAD + os._exit.
+    import threading
+
+    def _stuck():
+        print(
+            "bench: TPU device init did not complete in 180 s — the "
+            "axon relay looks down (no listener on 127.0.0.1:8082/3)",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(2)
+
+    watchdog = threading.Timer(180.0, _stuck)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
 
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ["JAX_COMPILATION_CACHE_DIR"],
     )
+    jax.devices()       # the call that hangs when the relay is dead
+    watchdog.cancel()   # device init OK; compiles may take minutes
     import jax.numpy as jnp
 
     import pathtrace_tpu as pt
