@@ -204,7 +204,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  nee_lights=(), grad_mats=(), early_exit=False,
                  pix_u=None, fx=None, fy=None, valid=None,
                  nodes=None, bvh_meta=(), rr_mode=False,
-                 tex_geom=(), texr=None, texg=None, texb=None):
+                 tex_geom=(), btex_geom=(), texr=None, texg=None,
+                 texb=None):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -233,6 +234,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     # per-geom (flat_offset, H, W) chart into the lane-replicated
     # per-channel texture tables ((-1,0,0) = untextured geom)
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
+    btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
 
     c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -319,6 +321,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         only narrows BVH traversal: dead lanes stop pulling nodes into
         the any-lane test (their best entries are unused by shade)."""
         tex_here = tex_mode and want_tex  # shadow rays skip textures
+        btex_here = btex_mode and want_tex
         big = jnp.float32(NO_HIT)
         best = dict(
             dist=jnp.full((SUB, LANES), big, jnp.float32),
@@ -352,10 +355,17 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             best["t_off"] = jnp.full((SUB, LANES), -1.0, jnp.float32)
             best["t_h"] = jnp.zeros((SUB, LANES), jnp.float32)
             best["t_w"] = jnp.zeros((SUB, LANES), jnp.float32)
-            best["u"] = jnp.zeros((SUB, LANES), jnp.float32)
-            best["v"] = jnp.zeros((SUB, LANES), jnp.float32)
             if has_checker:
                 best["t_chk"] = jnp.zeros((SUB, LANES), jnp.float32)
+        if tex_here or btex_here:
+            best["u"] = jnp.zeros((SUB, LANES), jnp.float32)
+            best["v"] = jnp.zeros((SUB, LANES), jnp.float32)
+        if btex_here:
+            # winner's object-space hit point (the BUMPTEX chart
+            # gradients need it; static per-geom data folds by gidx)
+            best["qx"] = jnp.zeros((SUB, LANES), jnp.float32)
+            best["qy"] = jnp.zeros((SUB, LANES), jnp.float32)
+            best["qz"] = jnp.zeros((SUB, LANES), jnp.float32)
 
         for g, gtype in enumerate(geom_types):
             if gtype == T.MESH:
@@ -518,11 +528,25 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 g_off, g_h, g_w = tex_geom[g]
                 if has_checker:
                     upd["t_chk"] = sel(
-                        jnp.where(odd, 1.0, 0.0).astype(jnp.float32)
-                        if has_checker else 0.0,
+                        jnp.where(odd, 1.0, 0.0).astype(jnp.float32),
                         best["t_chk"],
                     )
-                if g_off >= 0:
+                upd["t_off"] = sel(
+                    jnp.full((SUB, LANES), float(g_off), jnp.float32),
+                    best["t_off"],
+                )
+                upd["t_h"] = sel(
+                    jnp.full((SUB, LANES), float(g_h), jnp.float32),
+                    best["t_h"],
+                )
+                upd["t_w"] = sel(
+                    jnp.full((SUB, LANES), float(g_w), jnp.float32),
+                    best["t_w"],
+                )
+            if tex_here or btex_here:
+                a_on = tex_here and tex_geom[g][0] >= 0
+                b_on = btex_here and btex_geom[g][0] >= 0
+                if a_on or b_on:
                     # parametric UV chart (ops/intersect.py
                     # _one_sphere/_one_box want_uv semantics)
                     if gtype == T.SPHERE:
@@ -537,28 +561,14 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         ax1 = jnp.abs(noy) > 0.0
                         uu = jnp.where(ax0, qz, qx) + 0.5
                         vv_t = jnp.where(ax1, qz, qy) + 0.5
-                    upd["t_off"] = sel(
-                        jnp.full((SUB, LANES), float(g_off), jnp.float32),
-                        best["t_off"],
-                    )
-                    upd["t_h"] = sel(
-                        jnp.full((SUB, LANES), float(g_h), jnp.float32),
-                        best["t_h"],
-                    )
-                    upd["t_w"] = sel(
-                        jnp.full((SUB, LANES), float(g_w), jnp.float32),
-                        best["t_w"],
-                    )
-                    upd["u"] = sel(uu, best["u"])
-                    upd["v"] = sel(vv_t, best["v"])
                 else:
-                    upd["t_off"] = sel(
-                        jnp.full((SUB, LANES), -1.0, jnp.float32),
-                        best["t_off"],
-                    )
-                    for key in ("t_h", "t_w", "u", "v"):
-                        upd[key] = sel(jnp.zeros((SUB, LANES),
-                                                 jnp.float32), best[key])
+                    uu = vv_t = jnp.zeros((SUB, LANES), jnp.float32)
+                upd["u"] = sel(uu, best["u"])
+                upd["v"] = sel(vv_t, best["v"])
+            if btex_here:
+                upd["qx"] = sel(qx, best["qx"])
+                upd["qy"] = sel(qy, best["qy"])
+                upd["qz"] = sel(qz, best["qz"])
             best = upd
         if n_tris and not bvh_meta:
             def tri_body(t, best):
@@ -680,7 +690,6 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 if tex_here:
                     # per-tri chart cols 67..69, vt corners 70..75
                     # (barycentric interpolation, _one_triangle uv3)
-                    bw = 1.0 - u - vv
                     if has_checker:
                         out_t["t_chk"] = sel(
                             jnp.where(odd, 1.0, 0.0)
@@ -699,12 +708,29 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         jnp.full((SUB, LANES), m(69), jnp.float32),
                         best["t_w"],
                     )
-                    out_t["u"] = sel(
-                        bw * m(70) + u * m(72) + vv * m(74), best["u"]
-                    )
-                    out_t["v"] = sel(
-                        bw * m(71) + u * m(73) + vv * m(75), best["v"]
-                    )
+                if tex_here or btex_here:
+                    bw = 1.0 - u - vv
+                    if tex_here:
+                        out_t["u"] = sel(
+                            bw * m(70) + u * m(72) + vv * m(74),
+                            best["u"],
+                        )
+                        out_t["v"] = sel(
+                            bw * m(71) + u * m(73) + vv * m(75),
+                            best["v"],
+                        )
+                    else:
+                        # meshes have no BUMPTEX chart; keep the carry
+                        out_t["u"] = sel(jnp.zeros((SUB, LANES),
+                                                   jnp.float32),
+                                         best["u"])
+                        out_t["v"] = sel(jnp.zeros((SUB, LANES),
+                                                   jnp.float32),
+                                         best["v"])
+                if btex_here:
+                    out_t["qx"] = sel(qx, best["qx"])
+                    out_t["qy"] = sel(qy, best["qy"])
+                    out_t["qz"] = sel(qz, best["qz"])
                 return out_t
 
             best = jax.lax.fori_loop(0, n_tris, tri_body, best)
@@ -875,7 +901,6 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         # geom-static chart + vt corners at compact
                         # cols 12..17 (barycentric interp)
                         g_off, g_h, g_w = tex_geom[g]
-                        bw = 1.0 - u - vv
                         if has_checker:
                             best["t_chk"] = sel(
                                 jnp.where(odd, 1.0, 0.0)
@@ -897,14 +922,30 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                                      jnp.float32),
                             prev["t_w"],
                         )
-                        best["u"] = sel(
-                            bw * tm(12) + u * tm(14) + vv * tm(16),
-                            prev["u"],
-                        )
-                        best["v"] = sel(
-                            bw * tm(13) + u * tm(15) + vv * tm(17),
-                            prev["v"],
-                        )
+                    if tex_here or btex_here:
+                        bw = 1.0 - u - vv
+                        if tex_here:
+                            best["u"] = sel(
+                                bw * tm(12) + u * tm(14) + vv * tm(16),
+                                prev["u"],
+                            )
+                            best["v"] = sel(
+                                bw * tm(13) + u * tm(15) + vv * tm(17),
+                                prev["v"],
+                            )
+                        else:
+                            best["u"] = sel(
+                                jnp.zeros((SUB, LANES), jnp.float32),
+                                prev["u"],
+                            )
+                            best["v"] = sel(
+                                jnp.zeros((SUB, LANES), jnp.float32),
+                                prev["v"],
+                            )
+                    if btex_here:
+                        best["qx"] = sel(qx, prev["qx"])
+                        best["qy"] = sel(qy, prev["qy"])
+                        best["qz"] = sel(qz, prev["qz"])
                     # any in-geom hit bounds the in-geom search (world
                     # distance is monotonic in object t per ray)
                     t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
@@ -951,48 +992,141 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     (jnp.int32(0), best, t0),
                 )
 
+        if tex_here or btex_here:
+            def _bilin3(off_p, th, tw, uu, vv):
+                """Bilinear rgb sample on planes: mirrors
+                scene/textures.sample_texture exactly (wrap-then-
+                filter, texel centers at integer+0.5)."""
+                x = uu * tw - 0.5
+                y = vv * th - 0.5
+                x0f = jnp.floor(x)
+                y0f = jnp.floor(y)
+                fx_w = x - x0f
+                fy_w = y - y0f
+                wi = jnp.maximum(tw.astype(jnp.int32), 1)
+                hi = jnp.maximum(th.astype(jnp.int32), 1)
+                x0 = jnp.mod(x0f.astype(jnp.int32), wi)
+                x1 = jnp.mod(x0 + 1, wi)
+                y0 = jnp.mod(y0f.astype(jnp.int32), hi)
+                y1 = jnp.mod(y0 + 1, hi)
+                off_i = jnp.maximum(off_p.astype(jnp.int32), 0)
+                i00 = off_i + y0 * wi + x0
+                i01 = off_i + y0 * wi + x1
+                i10 = off_i + y1 * wi + x0
+                i11 = off_i + y1 * wi + x1
+                out = []
+                for tab in (texr, texg, texb):
+                    c00 = _tex_fetch(tab, i00)
+                    c01 = _tex_fetch(tab, i01)
+                    c10 = _tex_fetch(tab, i10)
+                    c11 = _tex_fetch(tab, i11)
+                    top = c00 * (1.0 - fx_w) + c01 * fx_w
+                    bot = c10 * (1.0 - fx_w) + c11 * fx_w
+                    out.append(top * (1.0 - fy_w) + bot * fy_w)
+                return out
+
         if tex_here:
-            # ONE bilinear texture sample for the whole tile, after the
-            # fold: the winner's (offset, H, W, u, v) planes address the
-            # lane-replicated flat tables.  Math mirrors
-            # scene/textures.sample_texture exactly (wrap-then-filter,
-            # texel centers at integer+0.5); albedo is MULTIPLIED in
-            # (integrator._texture_albedo).
-            th, tw = best["t_h"], best["t_w"]
-            x = best["u"] * tw - 0.5
-            y = best["v"] * th - 0.5
-            x0f = jnp.floor(x)
-            y0f = jnp.floor(y)
-            fx_w = x - x0f
-            fy_w = y - y0f
-            wi = jnp.maximum(tw.astype(jnp.int32), 1)
-            hi = jnp.maximum(th.astype(jnp.int32), 1)
-            x0 = jnp.mod(x0f.astype(jnp.int32), wi)
-            x1 = jnp.mod(x0 + 1, wi)
-            y0 = jnp.mod(y0f.astype(jnp.int32), hi)
-            y1 = jnp.mod(y0 + 1, hi)
-            off_i = jnp.maximum(best["t_off"].astype(jnp.int32), 0)
-            i00 = off_i + y0 * wi + x0
-            i01 = off_i + y0 * wi + x1
-            i10 = off_i + y1 * wi + x0
-            i11 = off_i + y1 * wi + x1
+            # ONE bilinear albedo sample for the whole tile, after the
+            # fold, addressed by the winner's chart planes; albedo is
+            # MULTIPLIED in (integrator._texture_albedo).
+            smp = _bilin3(best["t_off"], best["t_h"], best["t_w"],
+                          best["u"], best["v"])
             tex_on = best["t_off"] >= 0.0
             if has_checker:
                 # integrator composition order: checker REPLACES the
                 # (textured) albedo on odd cells
                 tex_on = tex_on & (best["t_chk"] < 0.5)
-            for ch, tab in (("mc_r", texr), ("mc_g", texg),
-                            ("mc_b", texb)):
-                c00 = _tex_fetch(tab, i00)
-                c01 = _tex_fetch(tab, i01)
-                c10 = _tex_fetch(tab, i10)
-                c11 = _tex_fetch(tab, i11)
-                top = c00 * (1.0 - fx_w) + c01 * fx_w
-                bot = c10 * (1.0 - fx_w) + c11 * fx_w
-                smp = top * (1.0 - fy_w) + bot * fy_w
+            for ch, smp_c in zip(("mc_r", "mc_g", "mc_b"), smp):
                 best[ch] = jnp.where(
-                    tex_on, best[ch] * smp, best[ch]
+                    tex_on, best[ch] * smp_c, best[ch]
                 )
+
+        if btex_here:
+            # BUMPTEX normal perturbation (integrator._bumptex_normal):
+            # central differences of the height map's luminance in UV,
+            # chained through the per-primitive chart gradients to an
+            # object-space gradient, then invT to world and projected
+            # tangentially.  All per-geom statics (chart, strength k,
+            # invT rows, primitive type) fold by the winner's gidx.
+            zplane = jnp.zeros((SUB, LANES), jnp.float32)
+            b_off = jnp.full((SUB, LANES), -1.0, jnp.float32)
+            b_h = zplane
+            b_w = zplane
+            b_k = zplane
+            sph_m = zplane
+            tinv = [zplane] * 9
+            for g_b in range(len(geom_types)):
+                go_b, gh_b, gw_b = btex_geom[g_b]
+                if go_b < 0:
+                    continue
+                selg = best["gidx"] == float(g_b)
+                b_off = jnp.where(selg, float(go_b), b_off)
+                b_h = jnp.where(selg, float(gh_b), b_h)
+                b_w = jnp.where(selg, float(gw_b), b_w)
+                b_k = jnp.where(selg, mats[g_b, 21], b_k)
+                tinv = [
+                    jnp.where(selg, gmat[g_b, 24 + i_t], tinv[i_t])
+                    for i_t in range(9)
+                ]
+                if geom_types[g_b] == T.SPHERE:
+                    sph_m = jnp.where(selg, 1.0, sph_m)
+
+            eu = 1.0 / jnp.maximum(b_w, 1.0)
+            ev = 1.0 / jnp.maximum(b_h, 1.0)
+
+            def _lum(du, dv):
+                r3 = _bilin3(b_off, b_h, b_w,
+                             best["u"] + du, best["v"] + dv)
+                return (r3[0] + r3[1] + r3[2]) * jnp.float32(1.0 / 3.0)
+
+            hu = (_lum(eu, zplane) - _lum(-eu, zplane)) / (2.0 * eu)
+            hv = (_lum(zplane, ev) - _lum(zplane, -ev)) / (2.0 * ev)
+
+            qx_w, qy_w, qz_w = best["qx"], best["qy"], best["qz"]
+            # sphere chart gradients (integrator._bumptex_normal)
+            r2s = jnp.maximum(qx_w * qx_w + qz_w * qz_w, 1e-12)
+            inv2pir2 = 1.0 / (jnp.float32(TWO_PI) * r2s)
+            den = jnp.sqrt(jnp.maximum(1.0 - 4.0 * qy_w * qy_w, 1e-12))
+            s_gux = -qz_w * inv2pir2
+            s_guz = qx_w * inv2pir2
+            s_gvy = 2.0 / (jnp.float32(PI) * den)
+            # cube face: dominant |q| axis (argmax, first max wins)
+            aqx, aqy, aqz = (jnp.abs(qx_w), jnp.abs(qy_w),
+                             jnp.abs(qz_w))
+            ax_is0 = (aqx >= aqy) & (aqx >= aqz)
+            ax_is1 = ~ax_is0 & (aqy >= aqz)
+            # gu = ax==0 ? ez : ex ; gv = ax==1 ? ez : ey
+            c_gux = jnp.where(ax_is0, 0.0, 1.0)
+            c_guz = jnp.where(ax_is0, 1.0, 0.0)
+            c_gvy = jnp.where(ax_is1, 0.0, 1.0)
+            c_gvz = jnp.where(ax_is1, 1.0, 0.0)
+            gux = jnp.where(sph_m > 0.0, s_gux, c_gux)
+            guy = zplane
+            guz = jnp.where(sph_m > 0.0, s_guz, c_guz)
+            gvx = zplane
+            gvy = jnp.where(sph_m > 0.0, s_gvy, c_gvy)
+            gvz = jnp.where(sph_m > 0.0, 0.0, c_gvz)
+            gox_b = hu * gux + hv * gvx
+            goy_b = hu * guy + hv * gvy
+            goz_b = hu * guz + hv * gvz
+            gwx = tinv[0] * gox_b + tinv[1] * goy_b + tinv[2] * goz_b
+            gwy = tinv[3] * gox_b + tinv[4] * goy_b + tinv[5] * goz_b
+            gwz = tinv[6] * gox_b + tinv[7] * goy_b + tinv[8] * goz_b
+            nxb, nyb, nzb = best["nx"], best["ny"], best["nz"]
+            gdn = gwx * nxb + gwy * nyb + gwz * nzb
+            gtx = gwx - gdn * nxb
+            gty = gwy - gdn * nyb
+            gtz = gwz - gdn * nzb
+            pxn = nxb - b_k * gtx
+            pyn = nyb - b_k * gty
+            pzn = nzb - b_k * gtz
+            nrm = jnp.maximum(
+                jnp.sqrt(pxn * pxn + pyn * pyn + pzn * pzn), 1e-20
+            )
+            b_on = (b_off >= 0.0) & (b_k > 0.0)
+            best["nx"] = jnp.where(b_on, pxn / nrm, nxb)
+            best["ny"] = jnp.where(b_on, pyn / nrm, nyb)
+            best["nz"] = jnp.where(b_on, pzn / nrm, nzb)
 
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
@@ -1502,7 +1636,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
             features=(True,) * 7, nee_lights=(), grad_mats=(),
-            early_exit=False, bvh_meta=(), rr_mode=False, tex_geom=()):
+            early_exit=False, bvh_meta=(), rr_mode=False, tex_geom=(),
+            btex_geom=()):
     """One ray tile, full trace.
 
     it_ref: (1,1) SMEM int32 — iteration number.
@@ -1535,11 +1670,12 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     grad_mode = bool(grad_mats)
     n_mats = grad_mats[0] if grad_mode else 0
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
+    btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
     rest = list(rest)
     tri_ref = rest.pop(0) if n_tris else None
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
-    if tex_mode:
+    if tex_mode or btex_mode:
         # lane-replicated flat texture tables (HWtot, 128) per channel;
         # loaded as values (the gather consumes vectors)
         texr_v = rest.pop(0)[:, :]
@@ -1570,8 +1706,8 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         n_tris=n_tris, features=features, nee_lights=nee_lights,
         grad_mats=grad_mats, early_exit=early_exit, pix_u=pix_u,
         fx=fx, fy=fy, valid=valid, nodes=nodes_ref, bvh_meta=bvh_meta,
-        rr_mode=rr_mode, tex_geom=tex_geom, texr=texr_v, texg=texg_v,
-        texb=texb_v,
+        rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
+        texr=texr_v, texg=texg_v, texb=texb_v,
     )
 
     def one_sample(sidx, acc):
@@ -1679,26 +1815,28 @@ KTEX_MAX_TEXELS = 16384  # e.g. four 64x64 maps
 
 
 def _tex_used(scene):
-    """Static: texture ids actually referenced by some geom's material,
-    in table-offset order.  Declared-but-unreferenced textures neither
-    occupy VMEM nor disqualify the scene (host-side only: reads
-    concrete material ids)."""
+    """Static: texture ids (albedo AND bump maps) actually referenced
+    by some geom's material, in table-offset order.  Declared-but-
+    unreferenced textures neither occupy VMEM nor disqualify the scene
+    (host-side only: reads concrete material ids)."""
     mids = {int(m) for m in np.asarray(scene.geoms.material_id)}
-    return tuple(sorted({
+    used = {
         scene.texture_ids[m] for m in mids
         if scene.texture_ids[m] >= 0
-    }))
+    }
+    used |= {
+        scene.bump_texture_ids[m] for m in mids
+        if scene.bump_texture_ids[m] >= 0
+    }
+    return tuple(sorted(used))
 
 
 def _tex_in_kernel(scene):
-    """Static: can the megakernel run this scene's image textures?
-    Albedo maps up to KTEX_MAX_SIDE / KTEX_MAX_TEXELS total; BUMPTEX
-    stays on the XLA engine (its 6-tap finite-difference + normal
-    chain isn't worth VMEM yet)."""
+    """Static: can the megakernel run this scene's image textures
+    (albedo TEXTURE and BUMPTEX height maps)?  Up to KTEX_MAX_SIDE per
+    map / KTEX_MAX_TEXELS total across the referenced set."""
     used = _tex_used(scene)
     if not used:
-        return False
-    if any(t >= 0 for t in scene.bump_texture_ids):
         return False
     if any(
         max(scene.textures[t].shape[0], scene.textures[t].shape[1])
@@ -1713,10 +1851,7 @@ def _tex_in_kernel(scene):
     return total <= KTEX_MAX_TEXELS
 
 
-def _tex_spec(scene):
-    """Static per-geom texture chart: tuple of (flat_offset, H, W) per
-    geom — (-1, 0, 0) for untextured geoms.  Offsets index the
-    concatenated flat tables built by :func:`_pack_textures`."""
+def _tex_offsets(scene):
     used = _tex_used(scene)
     offs = {}
     off = 0
@@ -1726,10 +1861,35 @@ def _tex_spec(scene):
         )
         offs[t] = (off, h, w)
         off += h * w
+    return offs
+
+
+def _tex_spec(scene):
+    """Static per-geom ALBEDO texture chart: tuple of
+    (flat_offset, H, W) per geom — (-1, 0, 0) for untextured geoms.
+    Offsets index the concatenated flat tables built by
+    :func:`_pack_textures`."""
+    offs = _tex_offsets(scene)
     out = []
     for mid in np.asarray(scene.geoms.material_id):
         t = scene.texture_ids[int(mid)]
         out.append(offs.get(t, (-1, 0, 0)) if t >= 0 else (-1, 0, 0))
+    return tuple(out)
+
+
+def _btex_spec(scene):
+    """Static per-geom BUMPTEX height-map chart, same table offsets as
+    :func:`_tex_spec` (one shared table set).  SPHERE/CUBE geoms only —
+    mesh triangles keep their geometric normal (integrator
+    _bumptex_normal: no per-tri UV tangent frames)."""
+    offs = _tex_offsets(scene)
+    out = []
+    for g, mid in enumerate(np.asarray(scene.geoms.material_id)):
+        t = scene.bump_texture_ids[int(mid)]
+        if t >= 0 and int(scene.geoms.type[g]) in (T.SPHERE, T.CUBE):
+            out.append(offs[t])
+        else:
+            out.append((-1, 0, 0))
     return tuple(out)
 
 
@@ -1791,6 +1951,8 @@ def _pack_scene(scene, tex_geom=()):
              else jnp.zeros((m.count,), jnp.float32))
     sss_a = (m.sss_albedo if m.sss_albedo is not None
              else jnp.ones((m.count, 3), jnp.float32))
+    btx_k = (m.bumptex_strength if m.bumptex_strength is not None
+             else jnp.zeros((m.count,), jnp.float32))
     mats = jnp.concatenate([
         m.color[mid], m.spec_color[mid],
         m.spec_exponent[mid][:, None], m.has_reflective[mid][:, None],
@@ -1802,7 +1964,8 @@ def _pack_scene(scene, tex_geom=()):
         jnp.asarray(bmp_k, jnp.float32)[mid][:, None],   # 16
         jnp.asarray(sss_s, jnp.float32)[mid][:, None],   # 17 (SSS sigma)
         jnp.asarray(sss_a, jnp.float32)[mid],            # 18..20 (albedo)
-        jnp.zeros((mid.shape[0], 3), jnp.float32),
+        jnp.asarray(btx_k, jnp.float32)[mid][:, None],   # 21 (BUMPTEX k)
+        jnp.zeros((mid.shape[0], 2), jnp.float32),
     ], axis=1)  # (G,24)
 
     fwd, inv, inv_t = geom_transforms(scene.geoms)
@@ -1918,12 +2081,13 @@ def _pack_scene(scene, tex_geom=()):
                                              "early_exit", "n_spp",
                                              "features", "nee_lights",
                                              "grad_mats", "bvh_meta",
-                                             "rr_mode", "tex_geom"))
+                                             "rr_mode", "tex_geom",
+                                             "btex_geom"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
          features=(True,) * 7, nee_lights=(), grad_mats=(),
          mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False,
-         tex_geom=(), texs=None):
+         tex_geom=(), btex_geom=(), texs=None):
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
@@ -1932,7 +2096,9 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     grad_mode = bool(grad_mats)
     bvh_meta = bvh_meta if n_tris else ()
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
-    assert not (tex_mode and grad_mode)
+    btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
+    tables_mode = tex_mode or btex_mode
+    assert not (tables_mode and grad_mode)
 
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
@@ -1940,6 +2106,7 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         n_spp=n_spp, features=features, nee_lights=nee_lights,
         grad_mats=grad_mats, early_exit=early_exit, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom if tex_mode else (),
+        btex_geom=btex_geom if btex_mode else (),
     )
     tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
@@ -1955,7 +2122,7 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if nee_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
-    if tex_mode:
+    if tables_mode:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3  # tex rgb
     if grad_mode:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mtab
@@ -1985,7 +2152,7 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
             args.append(nodes)
     if nee_lights:
         args.append(lights)
-    if tex_mode:
+    if tables_mode:
         args += list(texs)
     if grad_mode:
         args.append(mtab)
@@ -2088,21 +2255,39 @@ def _scene_features(scene):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit",
                                              "features", "nee", "rr",
-                                             "tex_geom", "tex_used"))
+                                             "tex_geom", "tex_used",
+                                             "btex_geom"))
 def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
-                   rr=False, tex_geom=(), tex_used=()):
+                   rr=False, tex_geom=(), tex_used=(), btex_geom=()):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
-    texs = _pack_textures(scene, tex_used) if tex_geom else None
+    texs = (_pack_textures(scene, tex_used)
+            if (tex_geom or btex_geom) else None)
     return _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, 1, features,
         nee_lights, nodes=nodes, bvh_meta=scene.mesh.bvh_meta,
-        rr_mode=rr, tex_geom=tex_geom, texs=texs,
+        rr_mode=rr, tex_geom=tex_geom, btex_geom=btex_geom, texs=texs,
     )
+
+
+def _tex_statics(scene):
+    """(tex_geom, tex_used, btex_geom) statics for the jit entry
+    points — () when the respective mode has nothing to do, so inactive
+    modes never widen the jit cache key or the packed tables."""
+    if not _tex_in_kernel(scene):
+        return (), (), ()
+    tg = _tex_spec(scene)
+    bg = _btex_spec(scene)
+    if not any(t[0] >= 0 for t in tg):
+        tg = ()
+    if not any(t[0] >= 0 for t in bg):
+        bg = ()
+    tu = _tex_used(scene) if (tg or bg) else ()
+    return tg, tu, bg
 
 
 def _xla_fallback(scene):
@@ -2129,11 +2314,10 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
         from ...render.integrator import pathtrace_iteration
 
         return pathtrace_iteration(scene, it, nee=nee, rr=rr)
-    in_k = _tex_in_kernel(scene)
+    tg, tu, bg = _tex_statics(scene)
     return _iteration_jit(
         scene, it, interpret, early_exit, _scene_features(scene), nee,
-        rr, _tex_spec(scene) if in_k else (),
-        _tex_used(scene) if in_k else (),
+        rr, tg, tu, bg,
     )
 
 
@@ -2153,33 +2337,33 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
             scene, it0, n_iters, remat=False, nee=nee, rr=rr
         )
         return rad, jnp.sum(counts, axis=0)  # (depth,) like the kernel
-    in_k = _tex_in_kernel(scene)
+    tg, tu, bg = _tex_statics(scene)
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
-        _scene_features(scene), nee, rr,
-        _tex_spec(scene) if in_k else (),
-        _tex_used(scene) if in_k else (),
+        _scene_features(scene), nee, rr, tg, tu, bg,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
                                              "early_exit", "features",
                                              "nee", "rr", "tex_geom",
-                                             "tex_used"))
+                                             "tex_used", "btex_geom"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
-               nee=False, rr=False, tex_geom=(), tex_used=()):
+               nee=False, rr=False, tex_geom=(), tex_used=(),
+               btex_geom=()):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
-    texs = _pack_textures(scene, tex_used) if tex_geom else None
+    texs = (_pack_textures(scene, tex_used)
+            if (tex_geom or btex_geom) else None)
     rad, counts = _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), interpret, early_exit, n_iters,
         features, nee_lights, nodes=nodes,
         bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
-        texs=texs,
+        btex_geom=btex_geom, texs=texs,
     )
     return rad, counts
 

@@ -139,8 +139,7 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     ``n_iters`` must be a multiple of the mesh size.
     """
     from ..ops.pallas.megakernel import (
-        _batch_jit, _scene_features, _tex_in_kernel, _tex_spec,
-        _tex_used, _xla_fallback,
+        _batch_jit, _scene_features, _tex_statics, _xla_fallback,
     )
 
     if _xla_fallback(scene):
@@ -155,14 +154,12 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     per_dev = n_iters // ndev
     its0 = it0 + jnp.arange(ndev, dtype=jnp.int32) * per_dev
     features = _scene_features(scene)
-    in_k = _tex_in_kernel(scene)
-    tex_geom = _tex_spec(scene) if in_k else ()
-    tex_used = _tex_used(scene) if in_k else ()
+    tex_geom, tex_used, btex_geom = _tex_statics(scene)
 
     def body(scene, it0_local):
         rad, counts = _batch_jit(
             scene, it0_local[0], per_dev, interpret, False, features,
-            tex_geom=tex_geom, tex_used=tex_used,
+            tex_geom=tex_geom, tex_used=tex_used, btex_geom=btex_geom,
         )
         return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
 

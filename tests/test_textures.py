@@ -384,23 +384,58 @@ SCALE       2 2 2
         d2 = np.abs(np.asarray(rp2) - np.asarray(rj)).max(-1)
         assert (d2 > 2e-3).mean() < 0.005
 
-    def test_fallback_conditions(self, tex_scene):
-        """BUMPTEX scenes (cornell_tex.txt) still fall back to the XLA
-        engine bit-for-bit; material_grads_pallas rejects textures."""
+    def test_bumptex_in_kernel(self, tex_scene):
+        """cornell_tex.txt (albedo TEXTURE + BUMPTEX) runs fully
+        in-kernel as of round 2 — engine parity, and the bump strength
+        actually perturbs the kernel's image.  material_grads_pallas
+        still rejects textures."""
         from pathtrace_tpu.ops.pallas.megakernel import (
             _tex_in_kernel, _xla_fallback, material_grads_pallas,
             pathtrace_iteration_pallas,
         )
 
-        assert _xla_fallback(tex_scene) and not _tex_in_kernel(tex_scene)
-        small = dc.replace(tex_scene, resolution=(16, 16), trace_depth=2)
-        rp, _ = pathtrace_iteration_pallas(small, 1)
+        assert _tex_in_kernel(tex_scene) and not _xla_fallback(tex_scene)
+        small = dc.replace(tex_scene, resolution=(48, 48), trace_depth=4)
+        rp, _ = pathtrace_iteration_pallas(small, 1, interpret=True)
         rj, _ = pt.pathtrace_iteration(small, 1)
-        np.testing.assert_array_equal(np.asarray(rp), np.asarray(rj))
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 2e-3).mean() < 0.005
+        flat = dc.replace(
+            small,
+            materials=dc.replace(
+                small.materials,
+                bumptex_strength=np.zeros_like(
+                    np.asarray(small.materials.bumptex_strength)
+                ),
+            ),
+        )
+        rp2, _ = pathtrace_iteration_pallas(flat, 1, interpret=True)
+        assert not np.array_equal(np.asarray(rp), np.asarray(rp2))
         with pytest.raises(NotImplementedError, match="texture"):
             material_grads_pallas(
                 small, np.ones((small.pixel_count, 3), np.float32), 1, 1
             )
+
+    def test_oversize_fallback_exact(self, ktex_dir):
+        """Scenes over the in-kernel texel caps fall back to the XLA
+        engine bit-for-bit."""
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, _xla_fallback, pathtrace_iteration_pallas,
+        )
+
+        rs = np.random.RandomState(13)
+        Image.fromarray(
+            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(ktex_dir, "big2.png"))
+        text = self.SCENE.replace("t32.png", "big2.png")
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert _xla_fallback(scene) and not _tex_in_kernel(scene)
+        small = dc.replace(scene, resolution=(16, 16), trace_depth=2)
+        rp, _ = pathtrace_iteration_pallas(small, 1)
+        rj, _ = pt.pathtrace_iteration(small, 1)
+        np.testing.assert_array_equal(np.asarray(rp), np.asarray(rj))
 
     def test_atan2_asin_polynomials(self):
         """The kernel's transcendental stand-ins vs numpy, full range."""
