@@ -708,29 +708,27 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         jnp.full((SUB, LANES), m(69), jnp.float32),
                         best["t_w"],
                     )
-                if tex_here or btex_here:
+                if tex_here:
                     bw = 1.0 - u - vv
-                    if tex_here:
-                        out_t["u"] = sel(
-                            bw * m(70) + u * m(72) + vv * m(74),
-                            best["u"],
-                        )
-                        out_t["v"] = sel(
-                            bw * m(71) + u * m(73) + vv * m(75),
-                            best["v"],
-                        )
-                    else:
-                        # meshes have no BUMPTEX chart; keep the carry
-                        out_t["u"] = sel(jnp.zeros((SUB, LANES),
-                                                   jnp.float32),
-                                         best["u"])
-                        out_t["v"] = sel(jnp.zeros((SUB, LANES),
-                                                   jnp.float32),
-                                         best["v"])
+                    out_t["u"] = sel(
+                        bw * m(70) + u * m(72) + vv * m(74),
+                        best["u"],
+                    )
+                    out_t["v"] = sel(
+                        bw * m(71) + u * m(73) + vv * m(75),
+                        best["v"],
+                    )
+                elif btex_here:
+                    # mesh winners are never bumptexed (_btex_spec
+                    # charts them (-1,0,0)) so their u/v/q values are
+                    # never read — pass the carry through unchanged,
+                    # zero selects in the hot per-triangle loop
+                    out_t["u"] = best["u"]
+                    out_t["v"] = best["v"]
                 if btex_here:
-                    out_t["qx"] = sel(qx, best["qx"])
-                    out_t["qy"] = sel(qy, best["qy"])
-                    out_t["qz"] = sel(qz, best["qz"])
+                    out_t["qx"] = best["qx"]
+                    out_t["qy"] = best["qy"]
+                    out_t["qz"] = best["qz"]
                 return out_t
 
             best = jax.lax.fori_loop(0, n_tris, tri_body, best)
@@ -922,30 +920,24 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                                      jnp.float32),
                             prev["t_w"],
                         )
-                    if tex_here or btex_here:
+                    if tex_here:
                         bw = 1.0 - u - vv
-                        if tex_here:
-                            best["u"] = sel(
-                                bw * tm(12) + u * tm(14) + vv * tm(16),
-                                prev["u"],
-                            )
-                            best["v"] = sel(
-                                bw * tm(13) + u * tm(15) + vv * tm(17),
-                                prev["v"],
-                            )
-                        else:
-                            best["u"] = sel(
-                                jnp.zeros((SUB, LANES), jnp.float32),
-                                prev["u"],
-                            )
-                            best["v"] = sel(
-                                jnp.zeros((SUB, LANES), jnp.float32),
-                                prev["v"],
-                            )
+                        best["u"] = sel(
+                            bw * tm(12) + u * tm(14) + vv * tm(16),
+                            prev["u"],
+                        )
+                        best["v"] = sel(
+                            bw * tm(13) + u * tm(15) + vv * tm(17),
+                            prev["v"],
+                        )
+                    elif btex_here:
+                        # mesh winners never bumptexed: carry through
+                        best["u"] = prev["u"]
+                        best["v"] = prev["v"]
                     if btex_here:
-                        best["qx"] = sel(qx, prev["qx"])
-                        best["qy"] = sel(qy, prev["qy"])
-                        best["qz"] = sel(qz, prev["qz"])
+                        best["qx"] = prev["qx"]
+                        best["qy"] = prev["qy"]
+                        best["qz"] = prev["qz"]
                     # any in-geom hit bounds the in-geom search (world
                     # distance is monotonic in object t per ray)
                     t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
@@ -1831,11 +1823,11 @@ def _tex_used(scene):
     return tuple(sorted(used))
 
 
-def _tex_in_kernel(scene):
+def _tex_in_kernel(scene, used=None):
     """Static: can the megakernel run this scene's image textures
     (albedo TEXTURE and BUMPTEX height maps)?  Up to KTEX_MAX_SIDE per
     map / KTEX_MAX_TEXELS total across the referenced set."""
-    used = _tex_used(scene)
+    used = _tex_used(scene) if used is None else used
     if not used:
         return False
     if any(
@@ -2277,8 +2269,10 @@ def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
 def _tex_statics(scene):
     """(tex_geom, tex_used, btex_geom) statics for the jit entry
     points — () when the respective mode has nothing to do, so inactive
-    modes never widen the jit cache key or the packed tables."""
-    if not _tex_in_kernel(scene):
+    modes never widen the jit cache key or the packed tables.  Computes
+    the shared used-set/offset scan once (this runs per render call)."""
+    used = _tex_used(scene)
+    if not used or not _tex_in_kernel(scene, used):
         return (), (), ()
     tg = _tex_spec(scene)
     bg = _btex_spec(scene)
@@ -2286,20 +2280,17 @@ def _tex_statics(scene):
         tg = ()
     if not any(t[0] >= 0 for t in bg):
         bg = ()
-    tu = _tex_used(scene) if (tg or bg) else ()
-    return tg, tu, bg
+    return tg, (used if (tg or bg) else ()), bg
 
 
 def _xla_fallback(scene):
-    # BUMPTEX and oversized image textures run on the XLA engine
-    # (in-kernel albedo textures are capped at KTEX_MAX_SIDE by the
-    # lane-replicated VMEM table design — see _tex_fetch; falling back
-    # beats silently rendering untextured)
-    has_tex = (
-        any(t >= 0 for t in scene.texture_ids)
-        or any(t >= 0 for t in scene.bump_texture_ids)
-    )
-    return has_tex and not _tex_in_kernel(scene)
+    # Oversized image textures run on the XLA engine (the in-kernel
+    # tables are capped at KTEX_MAX_SIDE/KTEX_MAX_TEXELS by the
+    # lane-replicated VMEM design — see _tex_fetch; falling back beats
+    # silently rendering untextured).  Only geom-REFERENCED textures
+    # count: a declared-but-unused map affects neither engine.
+    used = _tex_used(scene)
+    return bool(used) and not _tex_in_kernel(scene, used)
 
 
 def pathtrace_iteration_pallas(scene, it, interpret=False,

@@ -521,3 +521,45 @@ SCALE       2 2 2
         text2 = self.SCENE.replace("t32.png", "big.png")
         scene2 = pt.parse_scene(text2, base_dir=ktex_dir)
         assert not _tex_in_kernel(scene2) and _xla_fallback(scene2)
+
+    def test_oversize_bumptex_falls_back(self, ktex_dir):
+        """A BUMPTEX map alone exceeding the in-kernel caps routes the
+        scene to the XLA engine (regression guard for _tex_used's
+        bump-id inclusion in the cap check)."""
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, _xla_fallback,
+        )
+
+        rs = np.random.RandomState(17)
+        Image.fromarray(
+            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(ktex_dir, "bigbump.png"))
+        text = self.SCENE.replace(
+            "EMITTANCE   0\nTEXTURE     t32.png",
+            "EMITTANCE   0\nBUMPTEX     bigbump.png 0.5",
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert _xla_fallback(scene) and not _tex_in_kernel(scene)
+
+    def test_unreferenced_textures_stay_in_kernel(self, ktex_dir):
+        """A scene whose ONLY declared textures sit on unreferenced
+        materials runs the kernel untextured (no fallback, no tables)."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_statics, _xla_fallback, pathtrace_iteration_pallas,
+        )
+
+        text = self.SCENE.replace("TEXTURE     t32.png\n", "") + (
+            "\nMATERIAL 2\nRGB 1 1 1\nSPECEX 0\nSPECRGB 0 0 0\n"
+            "REFL 0\nREFR 0\nREFRIOR 0\nEMITTANCE 0\n"
+            "TEXTURE t32.png\n"
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert any(t >= 0 for t in scene.texture_ids)  # declared...
+        assert not _xla_fallback(scene)                # ...but unused
+        assert _tex_statics(scene) == ((), (), ())
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rj, _ = pt.pathtrace_iteration(scene, 1)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 1e-3).mean() < 0.005
