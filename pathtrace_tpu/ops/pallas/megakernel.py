@@ -1632,7 +1632,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             btex_geom=()):
     """One ray tile, full trace.
 
-    it_ref: (1,1) SMEM int32 — iteration number.
+    it_ref: (1,2) SMEM int32 — [iteration, pixel offset].
     cam_ref: (1,16) VMEM f32 — pos(3) view(3) right(3) up(3) tanx tany
       aperture focal.
     mats_ref: (G,24) VMEM f32 per-geom *gathered* material rows:
@@ -1686,7 +1686,11 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     tile = pl.program_id(0)
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-    pixel = (tile * SUB + row) * LANES + lane          # global flat id
+    # global flat pixel id; it_ref[0,1] is the shard's pixel offset
+    # (0 single-device; pixel-sharded rendering gives each device a
+    # contiguous slab — the RNG keys on the GLOBAL id, so any sharding
+    # renders the identical image)
+    pixel = (tile * SUB + row) * LANES + lane + it_ref[0, 1]
     valid = pixel < n_pixels
     pix_u = _u32(pixel)
 
@@ -2074,15 +2078,20 @@ def _pack_scene(scene, tex_geom=()):
                                              "features", "nee_lights",
                                              "grad_mats", "bvh_meta",
                                              "rr_mode", "tex_geom",
-                                             "btex_geom"))
+                                             "btex_geom",
+                                             "local_pixels"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
          features=(True,) * 7, nee_lights=(), grad_mats=(),
          mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False,
-         tex_geom=(), btex_geom=(), texs=None):
+         tex_geom=(), btex_geom=(), texs=None, pix0=None,
+         local_pixels=None):
     width, height = resolution
     n_pixels = width * height
-    n_tiles = pl.cdiv(n_pixels, TILE)
+    # pixel-sharded rendering: this call covers local_pixels pixels
+    # starting at traced offset pix0 (defaults: the whole image)
+    n_local = local_pixels if local_pixels is not None else n_pixels
+    n_tiles = pl.cdiv(n_local, TILE)
     pad_rows = n_tiles * SUB
     n_tris = 0 if tri is None else tri.shape[0]
     grad_mode = bool(grad_mats)
@@ -2137,7 +2146,11 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     grid_spec = pl.GridSpec(
         grid=(n_tiles,), in_specs=in_specs, out_specs=tuple(out_specs)
     )
-    args = [it.reshape(1, 1).astype(jnp.int32), cam, mats, gmat]
+    p0 = jnp.asarray(0 if pix0 is None else pix0, jnp.int32)
+    scal = jnp.stack(
+        [jnp.asarray(it, jnp.int32).reshape(()), p0.reshape(())]
+    ).reshape(1, 2)
+    args = [scal, cam, mats, gmat]
     if n_tris:
         args.append(tri)
         if bvh_meta:
@@ -2166,7 +2179,7 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
 
     rad = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
-    )[:n_pixels]
+    )[:n_local]
     counts = counts.reshape(n_tiles, 8, 128)[:, 0, :trace_depth]
     if grad_mode:
         gtab = jnp.sum(
@@ -2338,10 +2351,11 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret",
                                              "early_exit", "features",
                                              "nee", "rr", "tex_geom",
-                                             "tex_used", "btex_geom"))
+                                             "tex_used", "btex_geom",
+                                             "local_pixels"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
                nee=False, rr=False, tex_geom=(), tex_used=(),
-               btex_geom=()):
+               btex_geom=(), pix0=None, local_pixels=None):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
@@ -2354,7 +2368,8 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
         tuple(scene.geoms.type), interpret, early_exit, n_iters,
         features, nee_lights, nodes=nodes,
         bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
-        btex_geom=btex_geom, texs=texs,
+        btex_geom=btex_geom, texs=texs, pix0=pix0,
+        local_pixels=local_pixels,
     )
     return rad, counts
 

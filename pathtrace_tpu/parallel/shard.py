@@ -171,6 +171,56 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     return jax.jit(f)(scene, its0)
 
 
+def render_pixel_sharded_pallas(scene: Scene, it0: int, n_iters: int,
+                                mesh: Mesh, interpret: bool = False):
+    """Pixel-sharded rendering with the Pallas megakernel: each device
+    renders a contiguous slab of the image (its Pallas grid covers only
+    its rows, offset by a traced pixel-0 scalar), so there are NO
+    collectives in the render loop — only the final gather implied by
+    the P('dev') output sharding.  The counter RNG keys on the GLOBAL
+    pixel id, so the assembled image is bit-identical to a
+    single-device render (the sp axis of SURVEY §2.3, now on the
+    kernel engine; sample-parallel is render_sample_sharded_pallas).
+    """
+    from ..ops.pallas.megakernel import (
+        _batch_jit, _scene_features, _tex_statics, _xla_fallback,
+    )
+
+    if _xla_fallback(scene):
+        raise NotImplementedError(
+            "render_pixel_sharded_pallas: this scene's textures "
+            "exceed the in-kernel ceiling; use render_pixel_sharded"
+        )
+    ndev = mesh.devices.size
+    P_total = scene.pixel_count
+    if P_total % ndev:
+        raise ValueError(
+            f"pixel count {P_total} not divisible by {ndev} devices"
+        )
+    # slabs need not be tile-aligned: each device's last tile traces a
+    # few rays past its slab (still valid global pixels) and the
+    # [:local] slice drops them — ≤1 tile of waste per device
+    local = P_total // ndev
+    pix0 = jnp.arange(ndev, dtype=jnp.int32) * local
+    features = _scene_features(scene)
+    tex_geom, tex_used, btex_geom = _tex_statics(scene)
+
+    def body(scene, pix0_local):
+        rad, counts = _batch_jit(
+            scene, it0, n_iters, interpret, False, features,
+            tex_geom=tex_geom, tex_used=tex_used, btex_geom=btex_geom,
+            pix0=pix0_local[0], local_pixels=local,
+        )
+        return rad, jax.lax.psum(counts, "dev")
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P("dev"), P()),
+    )
+    return jax.jit(f)(scene, pix0)
+
+
 def make_sharded_renderer(scene: Scene, compaction: str = "mask",
                           mode: str = "samples", engine: str = "xla"):
     """CLI hook: returns ``fn(it0, step) -> (accum, counts)``."""
