@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "camera key RESTARTS accumulation, the "
                         "reference's camchanged -> iteration=0 contract "
                         "(src/main.cpp:72-94,115-137)")
+    p.add_argument("--interpret", action="store_true",
+                   help="run the pallas engine in interpret mode (works "
+                        "on any backend incl. CPU; slow — for demos and "
+                        "debugging without a TPU)")
     p.add_argument("--seed", type=int, default=0,
                    help="iteration-stream offset (0 matches the reference)")
     return p
@@ -120,17 +124,19 @@ def main(argv=None) -> int:
         if args.engine == "pallas" and args.compaction == "mask":
             import jax
 
-            if jax.default_backend() in ("tpu", "axon"):
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if on_tpu or args.interpret:
                 from pathtrace_tpu.ops.pallas.megakernel import (
                     pathtrace_batch_pallas,
                 )
 
                 return lambda it0, step: pathtrace_batch_pallas(
-                    scene, it0, step, nee=args.nee, rr=args.rr
+                    scene, it0, step, nee=args.nee, rr=args.rr,
+                    interpret=not on_tpu,
                 )
             print(
-                "[pathtrace_tpu] pallas engine needs a TPU backend; "
-                "falling back to xla",
+                "[pathtrace_tpu] pallas engine needs a TPU backend "
+                "(or --interpret); falling back to xla",
                 flush=True,
             )
         return None
