@@ -118,8 +118,14 @@ def main(argv=None) -> int:
         if args.shard:
             from pathtrace_tpu.parallel.shard import make_sharded_renderer
 
+            import jax
+
             return make_sharded_renderer(
-                scene, args.compaction, engine=args.engine
+                scene, args.compaction, engine=args.engine,
+                interpret=(
+                    args.interpret
+                    and jax.default_backend() not in ("tpu", "axon")
+                ),
             )
         if args.engine == "pallas" and args.compaction == "mask":
             import jax

@@ -222,13 +222,29 @@ def render_pixel_sharded_pallas(scene: Scene, it0: int, n_iters: int,
 
 
 def make_sharded_renderer(scene: Scene, compaction: str = "mask",
-                          mode: str = "samples", engine: str = "xla"):
-    """CLI hook: returns ``fn(it0, step) -> (accum, counts)``."""
+                          mode: str = "samples", engine: str = "xla",
+                          interpret: bool = False):
+    """CLI hook: returns ``fn(it0, step) -> (accum, counts)``.
+
+    Falls back from the pallas engine to XLA (like the unsharded CLI
+    path) when the scene's textures exceed the in-kernel ceiling."""
     mesh = make_mesh()
+    if engine == "pallas":
+        from ..ops.pallas.megakernel import _xla_fallback
+
+        if _xla_fallback(scene):
+            print(
+                "[pathtrace_tpu] scene textures exceed the in-kernel "
+                "ceiling; sharded render falls back to the xla engine",
+                flush=True,
+            )
+            engine = "xla"
 
     def fn(it0, step):
         if engine == "pallas":
-            return render_sample_sharded_pallas(scene, it0, step, mesh)
+            return render_sample_sharded_pallas(
+                scene, it0, step, mesh, interpret=interpret
+            )
         if mode == "pixels":
             return render_pixel_sharded(scene, it0, step, mesh, compaction)
         return render_sample_sharded(scene, it0, step, mesh, compaction)

@@ -79,7 +79,13 @@ def _drain_keys(fd) -> list:
     events = []
     buf = b""
     while select.select([fd], [], [], 0)[0]:
-        buf += os.read(fd, 64)
+        try:
+            chunk = os.read(fd, 64)
+        except OSError:       # terminal hangup (EIO over dead ssh)
+            return ["q"]
+        if not chunk:         # EOF: stdin closed -> quit cleanly
+            return events + ["q"]
+        buf += chunk
     while buf:
         # longest-match CSI first, then single chars
         for seq in (buf[:3], buf[:1]):

@@ -59,7 +59,7 @@ def main() -> int:
         print(f"  {label}: {dt * 1e3:.2f} ms")
         return dt
 
-    def parity(scene, label, nee=False, spp=1, tol=2e-3, frac=0.01):
+    def parity(scene, label, nee=False, tol=2e-3, frac=0.01):
         rp, _ = pathtrace_iteration_pallas(scene, 1, nee=nee)
         rj, _ = pt.pathtrace_iteration(scene, 1, nee=nee)
         d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
@@ -79,7 +79,6 @@ def main() -> int:
               f"{name} 10 spp (per-iter = /10)")
 
     print("[3] SSS")
-    sss_text = open(os.path.join(here, "scenes", "cornell.txt")).read()
     import tests.test_sss as ts
 
     s3 = ts._scene("SSS         2.0 .9 .6 .4\n")
