@@ -1814,14 +1814,22 @@ def _tex_used(scene):
     """Static: texture ids (albedo AND bump maps) actually referenced
     by some geom's material, in table-offset order.  Declared-but-
     unreferenced textures neither occupy VMEM nor disqualify the scene
-    (host-side only: reads concrete material ids)."""
-    mids = {int(m) for m in np.asarray(scene.geoms.material_id)}
+    (host-side only: reads concrete material ids).  Bump maps count
+    only when a SPHERE/CUBE geom references them — mesh BUMPTEX is
+    inert in both engines (no per-tri UV tangent frames), so it
+    neither packs tables nor burns the eligibility caps."""
+    mids_all = np.asarray(scene.geoms.material_id)
+    mids = {int(m) for m in mids_all}
     used = {
         scene.texture_ids[m] for m in mids
         if scene.texture_ids[m] >= 0
     }
+    prim_mids = {
+        int(m) for g, m in enumerate(mids_all)
+        if int(scene.geoms.type[g]) in (T.SPHERE, T.CUBE)
+    }
     used |= {
-        scene.bump_texture_ids[m] for m in mids
+        scene.bump_texture_ids[m] for m in prim_mids
         if scene.bump_texture_ids[m] >= 0
     }
     return tuple(sorted(used))

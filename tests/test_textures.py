@@ -563,3 +563,35 @@ SCALE       2 2 2
         rj, _ = pt.pathtrace_iteration(scene, 1)
         d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
         assert (d > 1e-3).mean() < 0.005
+
+    def test_mesh_only_bumptex_ignored(self, ktex_dir):
+        """BUMPTEX on a mesh-only material is inert in both engines
+        (no per-tri tangent frames), so it must neither pack VMEM
+        tables nor burn the eligibility caps — even oversized."""
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_statics, _tex_used, _xla_fallback,
+            pathtrace_iteration_pallas,
+        )
+
+        rs = np.random.RandomState(19)
+        Image.fromarray(
+            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(ktex_dir, "meshbump.png"))
+        text = self.SCENE.replace(
+            "OBJECT 2\nsphere\nmaterial 1",
+            "OBJECT 2\nmesh quad.obj\nmaterial 2",
+        ) + (
+            "\nMATERIAL 2\nRGB 1 1 1\nSPECEX 0\nSPECRGB 0 0 0\n"
+            "REFL 0\nREFR 0\nREFRIOR 0\nEMITTANCE 0\n"
+            "BUMPTEX meshbump.png 0.5\n"
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert not _xla_fallback(scene)   # oversized, but mesh-only
+        tg, tu, bg = _tex_statics(scene)
+        assert all(t[0] < 0 for t in bg)  # no bump charts packed
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rj, _ = pt.pathtrace_iteration(scene, 1)
+        d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
+        assert (d > 2e-3).mean() < 0.005
