@@ -595,3 +595,25 @@ SCALE       2 2 2
         rj, _ = pt.pathtrace_iteration(scene, 1)
         d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
         assert (d > 2e-3).mean() < 0.005
+
+    def test_atan2_edge_cases(self):
+        """Quadrant/axis edges of the polynomial atan2 (UV charts hit
+        x=0 and y=0 exactly on sphere seams/poles)."""
+        from pathtrace_tpu.ops.pallas.megakernel import _atan2
+
+        pts = np.array(
+            [[1, 0], [-1, 0], [0, 1], [0, -1],
+             [1, 1], [-1, 1], [-1, -1], [1, -1],
+             [1e-20, 1], [1, 1e-20], [0, 0]],
+            np.float32,
+        )
+        y = np.zeros((32, 128), np.float32)
+        x = np.zeros((32, 128), np.float32)
+        y.reshape(-1)[: len(pts)] = pts[:, 1]
+        x.reshape(-1)[: len(pts)] = pts[:, 0]
+        got = np.asarray(jax.jit(_atan2)(y, x)).reshape(-1)[: len(pts)]
+        want = np.arctan2(pts[:, 1], pts[:, 0])
+        # (0,0): ours returns 0 via the pi-flip chain -> pi... just
+        # require the defined points to match; (0,0) is never hit by
+        # the charts (it's the sphere axis where u is undefined)
+        np.testing.assert_allclose(got[:-1], want[:-1], atol=1e-6)
