@@ -150,7 +150,10 @@ SCALE       2.5 2.5 2.5
         return dc.replace(pt.parse_scene(self.RIG), trace_depth=depth)
 
     def test_materials(self):
-        scene = self._rig()
+        # depth 2 suffices: camera ray -> diffuse/spec vertex -> light
+        # exercises every material factor; the interpret compile is
+        # uncacheable (callback executables), so cheaper = every run
+        scene = self._rig(depth=2)
         ct = _masked_ct(scene, nee=False)
         _, g = render_vjp_pallas(scene, ct, 1, 1, interpret=True)
         gref = _ref_grads(scene, ct, nee=False)
@@ -166,7 +169,9 @@ SCALE       2.5 2.5 2.5
     def test_geometry_camera_nee(self):
         """The headline case: nonzero TRS + camera + light grads via
         the NEE geometric term, matching autodiff."""
-        scene = self._rig()
+        # depth 2: one diffuse vertex with NEE already carries the
+        # continuous cos·cos'/r² dependence on every TRS/camera param
+        scene = self._rig(depth=2)
         ct = _masked_ct(scene, nee=True)
         _, g = render_vjp_pallas(scene, ct, 1, 1, interpret=True,
                                  nee=True)
@@ -255,7 +260,7 @@ SCALE       3 3 3
                       rtol=1e-3, atol=1e-3)
 
     def test_multi_spp(self):
-        scene = dc.replace(self._rig(), resolution=(12, 12))
+        scene = dc.replace(self._rig(depth=2), resolution=(12, 12))
         ct = _masked_ct(scene, nee=True, n_spp=2)
         _, g = render_vjp_pallas(scene, ct, 1, 2, interpret=True,
                                  nee=True)
