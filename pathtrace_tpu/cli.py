@@ -44,10 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hdr", action="store_true",
                    help="also write a Radiance .hdr")
     p.add_argument("--compaction", choices=["mask", "sort"], default="mask")
-    p.add_argument("--engine", choices=["pallas", "xla"], default="pallas",
+    p.add_argument("--engine", choices=["pallas", "planes", "xla"],
+                   default="pallas",
                    help="pallas = VMEM megakernel (fastest; primitives "
-                        "and meshes); xla = jnp wavefront (NEE, "
-                        "sort-compaction, differentiation)")
+                        "and meshes); planes = fused-plane XLA engine "
+                        "(same trace, any backend, no VMEM texture "
+                        "caps); xla = jnp wavefront (readable "
+                        "reference; sort-compaction)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation / direct lighting")
     p.add_argument("--rr", action="store_true",
@@ -127,6 +130,14 @@ def main(argv=None) -> int:
                     and jax.default_backend() not in ("tpu", "axon")
                 ),
             )
+        if args.engine == "planes" and args.compaction == "mask":
+            from pathtrace_tpu.render.plane_engine import (
+                pathtrace_batch_planes,
+            )
+
+            return lambda it0, step: pathtrace_batch_planes(
+                scene, it0, step, nee=args.nee, rr=args.rr,
+            )
         if args.engine == "pallas" and args.compaction == "mask":
             import jax
 
@@ -142,8 +153,16 @@ def main(argv=None) -> int:
                 )
             print(
                 "[pathtrace_tpu] pallas engine needs a TPU backend "
-                "(or --interpret); falling back to xla",
+                "(or --interpret); falling back to the fused-plane "
+                "XLA engine",
                 flush=True,
+            )
+            from pathtrace_tpu.render.plane_engine import (
+                pathtrace_batch_planes,
+            )
+
+            return lambda it0, step: pathtrace_batch_planes(
+                scene, it0, step, nee=args.nee, rr=args.rr,
             )
         return None
 

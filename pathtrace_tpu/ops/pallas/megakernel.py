@@ -205,7 +205,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  pix_u=None, fx=None, fy=None, valid=None,
                  nodes=None, bvh_meta=(), rr_mode=False,
                  tex_geom=(), btex_geom=(), texr=None, texg=None,
-                 texb=None):
+                 texb=None, tex_fetch=None):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -235,6 +235,11 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     # per-channel texture tables ((-1,0,0) = untextured geom)
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
+    # texel tap: the Mosaic sublane dynamic-gather by default; the
+    # fused-plane XLA engine (render/plane_engine.py) passes XLA's
+    # native unpadded gather — identical output, no (HWtot, LANES)
+    # index materialization
+    tex_fetch = _tex_fetch if tex_fetch is None else tex_fetch
 
     c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -1008,10 +1013,10 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 i11 = off_i + y1 * wi + x1
                 out = []
                 for tab in (texr, texg, texb):
-                    c00 = _tex_fetch(tab, i00)
-                    c01 = _tex_fetch(tab, i01)
-                    c10 = _tex_fetch(tab, i10)
-                    c11 = _tex_fetch(tab, i11)
+                    c00 = tex_fetch(tab, i00)
+                    c01 = tex_fetch(tab, i01)
+                    c10 = tex_fetch(tab, i10)
+                    c11 = tex_fetch(tab, i11)
                     top = c00 * (1.0 - fx_w) + c01 * fx_w
                     bot = c10 * (1.0 - fx_w) + c11 * fx_w
                     out.append(top * (1.0 - fy_w) + bot * fy_w)
@@ -2323,9 +2328,10 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
     each on the TPU tunnel.
     """
     if _xla_fallback(scene):
-        from ...render.integrator import pathtrace_iteration
+        # fused-plane XLA engine: same trace, no VMEM texture caps
+        from ...render.plane_engine import pathtrace_iteration_planes
 
-        return pathtrace_iteration(scene, it, nee=nee, rr=rr)
+        return pathtrace_iteration_planes(scene, it, nee=nee, rr=rr)
     tg, tu, bg = _tex_statics(scene)
     return _iteration_jit(
         scene, it, interpret, early_exit, _scene_features(scene), nee,
@@ -2343,12 +2349,11 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     concrete scene, then everything runs under _batch_jit.
     """
     if _xla_fallback(scene):
-        from ...render.integrator import pathtrace_batch
+        # fused-plane XLA engine: same trace, no VMEM texture caps
+        from ...render.plane_engine import pathtrace_batch_planes
 
-        rad, counts = pathtrace_batch(
-            scene, it0, n_iters, remat=False, nee=nee, rr=rr
-        )
-        return rad, jnp.sum(counts, axis=0)  # (depth,) like the kernel
+        return pathtrace_batch_planes(scene, it0, n_iters, nee=nee,
+                                      rr=rr)
     tg, tu, bg = _tex_statics(scene)
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,

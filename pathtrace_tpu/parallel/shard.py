@@ -221,13 +221,89 @@ def render_pixel_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     return jax.jit(f)(scene, pix0)
 
 
+def render_sample_sharded_planes(scene: Scene, it0: int, n_iters: int,
+                                 mesh: Mesh):
+    """Sample-parallel rendering on the fused-plane XLA engine
+    (render/plane_engine.py): the megakernel's exact trace, lowered by
+    stock XLA, so it runs on ANY backend mesh — and has no in-kernel
+    texture ceiling (the sharded answer for scenes that
+    render_sample_sharded_pallas rejects).  Same psum reduction; the
+    counter RNG keyed on (iter, pixel) keeps the image bit-identical
+    to single-device."""
+    from ..ops.pallas.megakernel import _scene_features
+    from ..render.plane_engine import (
+        _batch_jit_planes, _tex_statics_planes,
+    )
+
+    ndev = mesh.devices.size
+    if n_iters % ndev:
+        raise ValueError(f"n_iters={n_iters} not divisible by {ndev}")
+    per_dev = n_iters // ndev
+    its0 = it0 + jnp.arange(ndev, dtype=jnp.int32) * per_dev
+    features = _scene_features(scene)
+    tex_geom, tex_used, btex_geom = _tex_statics_planes(scene)
+
+    def body(scene, it0_local):
+        rad, counts = _batch_jit_planes(
+            scene, it0_local[0], per_dev, features,
+            tex_geom=tex_geom, tex_used=tex_used, btex_geom=btex_geom,
+        )
+        return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(f)(scene, its0)
+
+
+def render_pixel_sharded_planes(scene: Scene, it0: int, n_iters: int,
+                                mesh: Mesh):
+    """Pixel-sharded rendering on the fused-plane XLA engine: each
+    device traces a contiguous pixel slab offset by a traced pixel-0
+    scalar (global-pixel-keyed RNG -> bit-identical assembly), no
+    collectives in the render loop."""
+    from ..ops.pallas.megakernel import _scene_features
+    from ..render.plane_engine import (
+        _batch_jit_planes, _tex_statics_planes,
+    )
+
+    ndev = mesh.devices.size
+    P_total = scene.pixel_count
+    if P_total % ndev:
+        raise ValueError(
+            f"pixel count {P_total} not divisible by {ndev} devices"
+        )
+    local = P_total // ndev
+    pix0 = jnp.arange(ndev, dtype=jnp.int32) * local
+    features = _scene_features(scene)
+    tex_geom, tex_used, btex_geom = _tex_statics_planes(scene)
+
+    def body(scene, pix0_local):
+        rad, counts = _batch_jit_planes(
+            scene, it0, n_iters, features,
+            tex_geom=tex_geom, tex_used=tex_used, btex_geom=btex_geom,
+            pix0=pix0_local[0], local_pixels=local,
+        )
+        return rad, jax.lax.psum(counts, "dev")
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P("dev"), P()),
+    )
+    return jax.jit(f)(scene, pix0)
+
+
 def make_sharded_renderer(scene: Scene, compaction: str = "mask",
                           mode: str = "samples", engine: str = "xla",
                           interpret: bool = False):
     """CLI hook: returns ``fn(it0, step) -> (accum, counts)``.
 
-    Falls back from the pallas engine to XLA (like the unsharded CLI
-    path) when the scene's textures exceed the in-kernel ceiling."""
+    Falls back from the pallas engine to the fused-plane XLA engine
+    (like the unsharded CLI path) when the scene's textures exceed the
+    in-kernel ceiling."""
     mesh = make_mesh()
     if engine == "pallas":
         from ..ops.pallas.megakernel import _xla_fallback
@@ -235,16 +311,22 @@ def make_sharded_renderer(scene: Scene, compaction: str = "mask",
         if _xla_fallback(scene):
             print(
                 "[pathtrace_tpu] scene textures exceed the in-kernel "
-                "ceiling; sharded render falls back to the xla engine",
+                "ceiling; sharded render falls back to the "
+                "fused-plane engine",
                 flush=True,
             )
-            engine = "xla"
+            engine = "planes"
 
     def fn(it0, step):
         if engine == "pallas":
             return render_sample_sharded_pallas(
                 scene, it0, step, mesh, interpret=interpret
             )
+        if engine == "planes":
+            if mode == "pixels":
+                return render_pixel_sharded_planes(scene, it0, step,
+                                                   mesh)
+            return render_sample_sharded_planes(scene, it0, step, mesh)
         if mode == "pixels":
             return render_pixel_sharded(scene, it0, step, mesh, compaction)
         return render_sample_sharded(scene, it0, step, mesh, compaction)

@@ -1,0 +1,241 @@
+"""Fused-plane XLA engine (render/plane_engine.py) vs the megakernel.
+
+The plane engine runs megakernel._make_tracer's EXACT trace under
+jax.vmap instead of a Pallas grid, so its output must be bit-identical
+to the interpret-mode kernel on every feature path — that equality is
+the whole point (one trace, three lowerings).  It is also the fallback
+engine for scenes whose textures exceed the in-kernel VMEM caps, where
+it must agree with the wavefront integrator's texture sampling.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import pathtrace_tpu as pt
+from pathtrace_tpu.ops.pallas.megakernel import (
+    pathtrace_batch_pallas, pathtrace_iteration_pallas,
+)
+from pathtrace_tpu.render.plane_engine import (
+    pathtrace_batch_planes, pathtrace_iteration_planes,
+)
+
+
+@pytest.fixture(scope="module")
+def small(cornell_scene):
+    return dataclasses.replace(
+        cornell_scene, resolution=(32, 32), trace_depth=4
+    )
+
+
+def _bit_equal(a, b):
+    return np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bit_identical_to_kernel(small):
+    rad_pl, counts_pl = pathtrace_iteration_planes(small, 1)
+    rad_k, counts_k = pathtrace_iteration_pallas(small, 1,
+                                                 interpret=True)
+    assert _bit_equal(rad_pl, rad_k)
+    assert _bit_equal(counts_pl, counts_k)
+
+
+def test_batch_nee_rr_bit_identical(small):
+    rb_pl = pathtrace_batch_planes(small, 3, 2, nee=True, rr=True)
+    rb_k = pathtrace_batch_pallas(small, 3, 2, interpret=True,
+                                  nee=True, rr=True)
+    assert _bit_equal(rb_pl[0], rb_k[0])
+    assert _bit_equal(rb_pl[1], rb_k[1])
+
+
+def test_glass_scene_bit_identical():
+    """Glass + imperfect-specular feature sections (cornell_glass)."""
+    sc = pt.load_scene("scenes/cornell_glass.txt")
+    sc = dataclasses.replace(sc, resolution=(24, 24), trace_depth=4)
+    r_pl, _ = pathtrace_iteration_planes(sc, 2)
+    r_k, _ = pathtrace_iteration_pallas(sc, 2, interpret=True)
+    assert _bit_equal(r_pl, r_k)
+
+
+def test_mesh_bvh_bit_identical():
+    """The BVH while_loop traversal must survive vmap batching (JAX
+    runs the loop until every tile is done, masking finished tiles) —
+    the riskiest structural difference vs the Pallas grid."""
+    sc = pt.load_scene("scenes/cornell_mesh.txt")
+    sc = dataclasses.replace(sc, resolution=(24, 24), trace_depth=3)
+    r_pl, c_pl = pathtrace_iteration_planes(sc, 1)
+    r_k, c_k = pathtrace_iteration_pallas(sc, 1, interpret=True)
+    assert _bit_equal(r_pl, r_k)
+    assert _bit_equal(c_pl, c_k)
+
+
+def test_sss_bit_identical():
+    from test_sss import BASE
+
+    sc = pt.parse_scene(BASE.replace("{SSS_LINE}",
+                                     "SSS         2.0 .9 .6 .4\n"))
+    sc = dataclasses.replace(sc, resolution=(24, 24), trace_depth=4)
+    r_pl, _ = pathtrace_iteration_planes(sc, 1)
+    r_k, _ = pathtrace_iteration_pallas(sc, 1, interpret=True)
+    assert _bit_equal(r_pl, r_k)
+
+
+class TestTextures:
+    SCENE = """\
+MATERIAL 0
+RGB         1 1 1
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .9 .9 .9
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+TEXTURE     tex.png
+
+CAMERA
+RES         32 32
+FOVY        45
+ITERATIONS  4
+DEPTH       4
+FILE        ptex
+EYE         0 1 8
+VIEW        0 0 -1
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 6 0
+ROTAT       0 0 0
+SCALE       4 .3 4
+
+OBJECT 1
+cube
+material 1
+TRANS       -2 0 0
+ROTAT       0 25 0
+SCALE       2.2 2.2 2.2
+
+OBJECT 2
+sphere
+material 1
+TRANS       2 0 1
+ROTAT       0 0 0
+SCALE       2 2 2
+"""
+
+    def _scene(self, tmp_path, side):
+        from PIL import Image
+
+        rs = np.random.RandomState(7)
+        Image.fromarray(
+            (rs.rand(side, side, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(tmp_path, "tex.png"))
+        return pt.parse_scene(self.SCENE, base_dir=str(tmp_path))
+
+    def test_small_texture_matches_kernel(self, tmp_path):
+        """In-cap textures: plane engine == kernel.  The direct XLA
+        gather replaces only the Mosaic padding contract (sampled
+        values are exact), but the changed gather shape shifts
+        downstream fma fusion — allow ULP-level flips on isolated
+        pixels (observed: one pixel at 2.4e-7)."""
+        sc = self._scene(tmp_path, 32)
+        r_pl, _ = pathtrace_iteration_planes(sc, 1)
+        r_k, _ = pathtrace_iteration_pallas(sc, 1, interpret=True)
+        d = np.abs(np.asarray(r_pl) - np.asarray(r_k))
+        assert d.max() < 1e-5
+        assert (d.max(-1) > 0).mean() < 0.01
+
+    def test_oversize_texture_runs_on_planes(self, tmp_path):
+        """Beyond KTEX caps the pallas entry point routes to the plane
+        engine (no more ~800x wavefront fallback) and must agree with
+        the integrator's texture sampling."""
+        from pathtrace_tpu.ops.pallas.megakernel import _xla_fallback
+
+        sc = self._scene(tmp_path, 128)
+        assert _xla_fallback(sc)
+        r_fb, _ = pathtrace_iteration_pallas(sc, 1)  # -> plane engine
+        r_pl, _ = pathtrace_iteration_planes(sc, 1)
+        assert _bit_equal(r_fb, r_pl)
+        r_j, _ = pt.pathtrace_iteration(sc, 1)
+        d = np.abs(np.asarray(r_pl) - np.asarray(r_j)).max(axis=-1)
+        assert (d > 1e-3).mean() < 0.01
+
+
+class TestSharded:
+    def test_sample_sharded_bit_identical(self, small):
+        import jax
+
+        from pathtrace_tpu.parallel.shard import (
+            make_mesh, render_sample_sharded_planes,
+        )
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+        rad_sh, counts_sh = render_sample_sharded_planes(
+            small, 0, ndev, mesh
+        )
+        rad_1 = pathtrace_batch_planes(small, 0, ndev)[0]
+        assert _bit_equal(rad_sh, rad_1)
+
+    def test_pixel_sharded_bit_identical(self, small):
+        from pathtrace_tpu.parallel.shard import (
+            make_mesh, render_pixel_sharded_planes,
+        )
+
+        mesh = make_mesh()
+        rad_sh, counts_sh = render_pixel_sharded_planes(
+            small, 0, 2, mesh
+        )
+        rad_1, counts_1 = pathtrace_batch_planes(small, 0, 2)
+        assert _bit_equal(rad_sh, rad_1)
+        # counts over-count at tiny sizes: each device's single tile
+        # traces past its 128-pixel slab (valid global pixels, sliced
+        # off the radiance) — same documented semantics as
+        # render_pixel_sharded_pallas
+        assert np.all(np.asarray(counts_sh) >= np.asarray(counts_1))
+
+
+def test_differentiable(small):
+    """The plane engine is ordinary traced jnp — plain jax.grad works,
+    and its gradients agree with the wavefront integrator's autodiff
+    (both differentiate the same math; the fori_loop lowers to scan
+    under reverse mode).  This is the fast autodiff path for scenes
+    the in-kernel reverse sweep rejects (textured/mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss_planes(color):
+        m = dataclasses.replace(
+            small.materials,
+            color=jnp.asarray(small.materials.color).at[1].set(color),
+        )
+        sc = dataclasses.replace(small, materials=m)
+        rad, _ = pathtrace_iteration_planes(sc, 1)
+        return jnp.mean(rad)
+
+    def loss_wave(color):
+        m = dataclasses.replace(
+            small.materials,
+            color=jnp.asarray(small.materials.color).at[1].set(color),
+        )
+        sc = dataclasses.replace(small, materials=m)
+        rad, _ = pt.pathtrace_iteration(sc, 1)
+        return jnp.mean(rad)
+
+    c0 = jnp.asarray(small.materials.color)[1]
+    g_pl = jax.grad(loss_planes)(c0)
+    g_wv = jax.grad(loss_wave)(c0)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_wv),
+                               rtol=1e-4, atol=1e-7)
