@@ -993,7 +993,19 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             def _bilin3(off_p, th, tw, uu, vv):
                 """Bilinear rgb sample on planes: mirrors
                 scene/textures.sample_texture exactly (wrap-then-
-                filter, texel centers at integer+0.5)."""
+                filter, texel centers at integer+0.5).
+
+                Untextured/miss lanes (off_p < 0) carry garbage UVs
+                (possibly inf/NaN from the fold) — zero them before
+                the weight math.  Forward output for those lanes is
+                discarded by the tex_on masks, but under reverse-mode
+                a NaN weight times a zero cotangent scatters NaN into
+                texel 0 (0*NaN = NaN); this guard keeps texel
+                gradients clean on the plane engine and is identity
+                for every textured lane (bit-parity preserved)."""
+                on = off_p >= 0.0
+                uu = jnp.where(on, uu, 0.0)
+                vv = jnp.where(on, vv, 0.0)
                 x = uu * tw - 0.5
                 y = vv * th - 0.5
                 x0f = jnp.floor(x)
@@ -1029,6 +1041,14 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             smp = _bilin3(best["t_off"], best["t_h"], best["t_w"],
                           best["u"], best["v"])
             tex_on = best["t_off"] >= 0.0
+            if live is not None:
+                # dead lanes can still "hit" a textured geom (their
+                # state is garbage and discarded by the live masks in
+                # shade) — keep them out of the texture sample so the
+                # backward pass never routes their NaN cotangents into
+                # texel gradients (0 * NaN = NaN).  Forward-identical:
+                # dead-lane shading output is already discarded.
+                tex_on = tex_on & (live > 0.0)
             if has_checker:
                 # integrator composition order: checker REPLACES the
                 # (textured) albedo on odd cells
@@ -1121,6 +1141,9 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 jnp.sqrt(pxn * pxn + pyn * pyn + pzn * pzn), 1e-20
             )
             b_on = (b_off >= 0.0) & (b_k > 0.0)
+            if live is not None:
+                # same dead-lane gate as tex_on above
+                b_on = b_on & (live > 0.0)
             best["nx"] = jnp.where(b_on, pxn / nrm, nxb)
             best["ny"] = jnp.where(b_on, pyn / nrm, nyb)
             best["nz"] = jnp.where(b_on, pzn / nrm, nzb)

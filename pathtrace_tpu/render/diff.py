@@ -64,12 +64,29 @@ def merge_params(scene: Scene, params) -> Scene:
 
 
 def render_mean(scene: Scene, it0, n_iters: int, compaction="mask",
-                remat=True, nee=False):
+                remat=True, nee=False, engine: str = "wavefront"):
     """Mean image over ``n_iters`` fixed-RNG iterations, differentiable.
 
     ``nee=True`` uses the direct-lighting estimator — required for
     non-trivial geometry-transform gradients (see module docstring).
-    """
+
+    ``engine="planes"`` runs the fused-plane XLA engine instead of the
+    wavefront integrator: the megakernel's exact trace, far faster
+    forward and backward through plain autodiff (the fast XLA gradient
+    path for scenes the in-kernel reverse sweep rejects — image
+    textures incl. texel gradients, meshes via the differentiable
+    linear fold).  Same RNG streams, so losses/gradients agree with
+    the wavefront up to f32 fusion-order noise.  NOTE: the planes
+    branch derives static scene facts eagerly, so it needs a CONCRETE
+    scene — :func:`render_loss_and_grad` hoists the statics before
+    jit; do the same if you wrap this in your own jit."""
+    if engine == "planes":
+        from .plane_engine import pathtrace_batch_planes
+
+        rad, _ = pathtrace_batch_planes(
+            scene, it0, n_iters, nee=nee, use_bvh=False,
+        )
+        return rad / float(n_iters)
     pix = jnp.arange(scene.pixel_count, dtype=jnp.int32)
     its = jnp.asarray(it0, jnp.int32) + jnp.arange(n_iters, dtype=jnp.int32)
     rad, _ = jax.vmap(
@@ -80,12 +97,8 @@ def render_mean(scene: Scene, it0, n_iters: int, compaction="mask",
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "compaction",
                                              "nee"))
-def render_loss_and_grad(scene: Scene, target, it0, n_iters: int,
+def _loss_grad_wavefront(scene: Scene, target, it0, n_iters: int,
                          compaction: str = "mask", nee: bool = False):
-    """L2 image loss + gradients w.r.t. the differentiable params.
-
-    Returns (loss, grads-dict matching :func:`split_params`).
-    """
     params = split_params(scene)
 
     def loss_fn(params):
@@ -96,6 +109,51 @@ def render_loss_and_grad(scene: Scene, target, it0, n_iters: int,
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(params)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "nee",
+                                             "features", "tex_geom",
+                                             "tex_used", "btex_geom"))
+def _loss_grad_planes(scene: Scene, target, it0, n_iters: int, nee,
+                      features, tex_geom, tex_used, btex_geom):
+    from .plane_engine import _batch_jit_planes
+
+    params = split_params(scene)
+
+    def loss_fn(params):
+        rad, _ = _batch_jit_planes(
+            merge_params(scene, params), it0, n_iters, features, nee,
+            False, tex_geom, tex_used, btex_geom, use_bvh=False,
+        )
+        img = rad / float(n_iters)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def render_loss_and_grad(scene: Scene, target, it0, n_iters: int,
+                         compaction: str = "mask", nee: bool = False,
+                         engine: str = "wavefront"):
+    """L2 image loss + gradients w.r.t. the differentiable params.
+
+    Returns (loss, grads-dict matching :func:`split_params`).
+
+    ``engine="planes"`` differentiates the fused-plane XLA engine
+    (plane_engine.py) instead of the wavefront — same estimator, same
+    RNG streams, far faster; static scene facts (feature flags,
+    texture charts) are derived here from the concrete scene and
+    passed into jit as statics."""
+    if engine == "planes":
+        from ..ops.pallas.megakernel import _scene_features
+        from .plane_engine import _tex_statics_planes
+
+        tg, tu, bg = _tex_statics_planes(scene)
+        return _loss_grad_planes(
+            scene, target, it0, n_iters, nee, _scene_features(scene),
+            tg, tu, bg,
+        )
+    return _loss_grad_wavefront(scene, target, it0, n_iters,
+                                compaction, nee)
 
 
 @functools.partial(

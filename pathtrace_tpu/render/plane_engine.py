@@ -46,12 +46,13 @@ def _tex_fetch_direct(tab, flat_idx):
     needs equal shapes; XLA's gather does not, and padding would
     materialize an (HWtot, LANES) index per tap under vmap.  Gathers
     are exact, so output matches ``mk._tex_fetch`` bit-for-bit.
-    ``stop_gradient`` matches the kernel contract (texel derivatives
-    are defined by the sampling filter, not the table entries; texture
-    *parameter* gradients flow through the albedo multiply)."""
-    return jax.lax.stop_gradient(
-        jnp.take_along_axis(tab, flat_idx, axis=0)
-    )
+
+    No ``stop_gradient`` here: the kernel's is a Mosaic limitation
+    (the gather's transpose is a scatter-add Mosaic cannot lower), not
+    semantics — texture texels are data leaves (core/types.Scene) and
+    their gradients flow through this engine exactly as through the
+    wavefront integrator's sample_texture."""
+    return jnp.take_along_axis(tab, flat_idx, axis=0)
 
 
 def _run_planes(cam, mats, gmat, tri, lights, it, resolution,
@@ -132,10 +133,10 @@ def _tex_statics_planes(scene):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_iters", "features", "nee", "rr", "tex_geom", "tex_used",
-    "btex_geom", "local_pixels"))
+    "btex_geom", "local_pixels", "use_bvh"))
 def _batch_jit_planes(scene, it0, n_iters, features, nee=False,
                       rr=False, tex_geom=(), tex_used=(), btex_geom=(),
-                      pix0=None, local_pixels=None):
+                      pix0=None, local_pixels=None, use_bvh=True):
     cam, mats, gmat, tri, nodes = mk._pack_scene(scene, tex_geom)
     lights, nee_lights = (
         mk._pack_lights(scene) if nee else (None, ())
@@ -146,22 +147,28 @@ def _batch_jit_planes(scene, it0, n_iters, features, nee=False,
         cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),
         tuple(scene.resolution), int(scene.trace_depth),
         tuple(scene.geoms.type), n_iters, features, nee_lights,
-        nodes=nodes, bvh_meta=scene.mesh.bvh_meta, rr_mode=rr,
+        nodes=nodes if use_bvh else None,
+        bvh_meta=scene.mesh.bvh_meta if use_bvh else (), rr_mode=rr,
         tex_geom=tex_geom, btex_geom=btex_geom, texs=texs, pix0=pix0,
         local_pixels=local_pixels,
     )
 
 
 def pathtrace_batch_planes(scene, it0, n_iters: int, nee=False,
-                           rr=False):
+                           rr=False, use_bvh=True):
     """``n_iters`` samples/pixel in one jit call on the fused-plane
     XLA engine.  Returns (accumulated radiance (P,3), counts (depth,)
     summed over samples) — the same contract as
-    megakernel.pathtrace_batch_pallas, bit-compatible output."""
+    megakernel.pathtrace_batch_pallas, bit-compatible output.
+
+    ``use_bvh=False`` traverses mesh triangles with the linear
+    scan-fold instead of the BVH while_loop: slower, but reverse-mode
+    differentiable (while_loop has no transpose rule) — the setting
+    render/diff.py uses for mesh-scene gradients on this engine."""
     tg, tu, bg = _tex_statics_planes(scene)
     return _batch_jit_planes(
         scene, it0, n_iters, mk._scene_features(scene), nee, rr,
-        tg, tu, bg,
+        tg, tu, bg, use_bvh=use_bvh,
     )
 
 

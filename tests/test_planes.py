@@ -239,3 +239,70 @@ def test_differentiable(small):
     g_wv = jax.grad(loss_wave)(c0)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_wv),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_render_loss_and_grad_engine_planes(small):
+    """render/diff.py engine='planes': same loss and same gradients as
+    the wavefront autodiff path (same RNG streams, same math), ~14x
+    faster on TPU.  f32 fusion-order noise only."""
+    import jax
+
+    from pathtrace_tpu.render import diff
+
+    sc = dataclasses.replace(small, resolution=(24, 24), trace_depth=3)
+    target = np.zeros((sc.pixel_count, 3), np.float32)
+    loss_w, g_w = diff.render_loss_and_grad(sc, target, 1, 2)
+    loss_p, g_p = diff.render_loss_and_grad(sc, target, 1, 2,
+                                            engine="planes")
+    np.testing.assert_allclose(float(loss_p), float(loss_w), rtol=1e-5)
+    for (kw, lw), (kp, lp) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_w),
+               key=lambda kl: str(kl[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g_p),
+               key=lambda kl: str(kl[0])),
+    ):
+        assert str(kw) == str(kp)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lw), rtol=2e-3, atol=2e-5,
+            err_msg=str(kw),
+        )
+
+
+def test_texel_gradients_planes():
+    """Texture texels are data leaves; the plane engine's direct
+    gather differentiates through them (the in-kernel path cannot —
+    Mosaic has no scatter).  Gradients must match the wavefront
+    integrator's sample_texture autodiff.  cornell_tex: the textured
+    geoms sit inside the lit cornell box so dL/dtexel is dense."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    sc = pt.load_scene("scenes/cornell_tex.txt")
+    sc = dc.replace(sc, resolution=(24, 24), trace_depth=3)
+    ti = sc.texture_ids[5]  # pattern32.png on material 5
+    assert ti >= 0
+
+    def swap(tex):
+        texs = tuple(
+            tex if i == ti else t for i, t in enumerate(sc.textures)
+        )
+        return dc.replace(sc, textures=texs)
+
+    # nee=True: at depth 3 / 24x24 no indirect path through the
+    # textured geoms reaches the light, so without direct lighting
+    # texel grads are legitimately zero in both engines
+    def loss_planes(tex):
+        rad, _ = pathtrace_iteration_planes(swap(tex), 1, nee=True)
+        return jnp.mean(rad)
+
+    def loss_wave(tex):
+        rad, _ = pt.pathtrace_iteration(swap(tex), 1, nee=True)
+        return jnp.mean(rad)
+
+    t0 = jnp.asarray(sc.textures[ti])
+    g_pl = np.asarray(jax.grad(loss_planes)(t0))
+    g_wv = np.asarray(jax.grad(loss_wave)(t0))
+    assert np.abs(g_pl).sum() > 0, "texel grads must be nonzero"
+    np.testing.assert_allclose(g_pl, g_wv, rtol=1e-3, atol=1e-7)
