@@ -1137,13 +1137,21 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             pxn = nxb - b_k * gtx
             pyn = nyb - b_k * gty
             pzn = nzb - b_k * gtz
-            nrm = jnp.maximum(
-                jnp.sqrt(pxn * pxn + pyn * pyn + pzn * pzn), 1e-20
-            )
             b_on = (b_off >= 0.0) & (b_k > 0.0)
             if live is not None:
                 # same dead-lane gate as tex_on above
                 b_on = b_on & (live > 0.0)
+            # safe-where: guard the radicand BEFORE the sqrt.  Dead /
+            # miss lanes carry an exactly-zero perturbed normal, and
+            # sqrt's VJP at 0 is ct/(2*sqrt(0)) = 0/0 = NaN even under
+            # a zero cotangent; a maximum() placed after the sqrt
+            # blocks the primal but not the cotangent.  That NaN
+            # flowed back through hu/hv into the bilinear taps and
+            # scatter-added NaN into texel (0,0) (the red
+            # test_texel_gradients_planes, VERDICT r2 weak #1).
+            # Forward-identical for every b_on lane (len2 > 0 there).
+            len2 = pxn * pxn + pyn * pyn + pzn * pzn
+            nrm = jnp.sqrt(jnp.where(b_on & (len2 > 0.0), len2, 1.0))
             best["nx"] = jnp.where(b_on, pxn / nrm, nxb)
             best["ny"] = jnp.where(b_on, pyn / nrm, nyb)
             best["nz"] = jnp.where(b_on, pzn / nrm, nzb)
