@@ -164,6 +164,24 @@ def main(argv=None) -> int:
             return lambda it0, step: pathtrace_batch_planes(
                 scene, it0, step, nee=args.nee, rr=args.rr,
             )
+        if args.engine in ("pallas", "planes"):
+            # the only way here: a fast engine + sort-compaction.
+            # Densification has no meaning inside the tiled engines
+            # (every VMEM lane computes every bounce under a live
+            # mask — the measured architectural argument in
+            # BENCHMARKS.md "compaction on TPU"), so honor the
+            # compaction request on the only engine that implements
+            # it, and say so LOUDLY: this is the ~460x-slower jnp
+            # wavefront (1140 ms/iter vs 2.5 on cornell 800x800).
+            print(
+                f"[pathtrace_tpu] WARNING: --engine {args.engine} has "
+                "no sort-compaction mode (tiled engines mask, they "
+                "don't densify); running --compaction sort on the jnp "
+                "wavefront engine instead — expect ~2 orders of "
+                "magnitude slower iterations.  Drop --compaction sort "
+                "to stay on the fast engine.",
+                flush=True,
+            )
         return None
 
     render_fn = make_render_fn(scene)

@@ -205,7 +205,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  pix_u=None, fx=None, fy=None, valid=None,
                  nodes=None, bvh_meta=(), rr_mode=False,
                  tex_geom=(), btex_geom=(), texr=None, texg=None,
-                 texb=None, tex_fetch=None):
+                 texb=None, tex_fetch=None, bvh_grad=False):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -750,6 +750,19 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             # the primitive branches above; the leaf fold is Moller-
             # Trumbore on compact (T,16) rows, identical math to
             # tri_body.
+            #
+            # ``bvh_grad`` (the autodiff engines): lax.while_loop has
+            # no transpose rule, so the traversal runs on DETACHED
+            # values and records only the winning triangle row per
+            # lane; the hit is then recomputed differentiably from
+            # gathered winner rows (one Moller-Trumbore per lane,
+            # through the same mt_shade_fold ops — bit-identical
+            # forward).  The winner is piecewise-constant in the scene
+            # parameters, so this is exact wherever the detached
+            # estimator is (render/diff.py docstring), and it gives
+            # mesh scenes reverse-mode gradients at traversal speed
+            # instead of the O(T) linear fold (reference mesh extra,
+            # README.md:113-117 + BASELINE differentiability).
             for (g, node_off, n_nodes_g, tri_off, _ntg) in bvh_meta:
                 m = lambda k: gmat[g, k]
                 mt = lambda k: mats[g, k]
@@ -795,11 +808,15 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     tb = jnp.where(jnp.isnan(tb), jnp.inf, tb)
                     return ta, tb
 
-                def leaf_body(sl, carry, *, rox=rox, roy=roy, roz=roz,
-                              rdx=rdx, rdy=rdy, rdz=rdz, gox=gox,
-                              goy=goy, goz=goz, m=m, mt=mt, g=g):
-                    best, t_loc = carry
-                    tm = lambda k: tri_ref[sl, k]
+                def mt_shade_fold(tm, best, extra_hit=None, *,
+                                  rox=rox, roy=roy, roz=roz,
+                                  rdx=rdx, rdy=rdy, rdz=rdz, gox=gox,
+                                  goy=goy, goz=goz, m=m, mt=mt, g=g):
+                    """Moller-Trumbore + winner fold for triangle data
+                    accessor ``tm``: scalar row loads in the leaf fold
+                    (tm(k) = tri[sl, k]); gathered (SUB, LANES) planes
+                    in the bvh_grad recompute.  Returns
+                    (best', tt, hit)."""
                     v0x, v0y, v0z = tm(0), tm(1), tm(2)
                     e1x, e1y, e1z = tm(3), tm(4), tm(5)
                     e2x, e2y, e2z = tm(6), tm(7), tm(8)
@@ -819,6 +836,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                     hit = ok & (u >= 0.0) & (vv >= 0.0) \
                         & (u + vv <= 1.0) & (tt > 0.0)
+                    if extra_hit is not None:
+                        hit = hit & extra_hit
                     tofs = tt - jnp.float32(RAY_OFFSET)
                     qx = rox + tofs * rdx
                     qy = roy + tofs * rdy
@@ -826,6 +845,18 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     pxw = m(0) * qx + m(1) * qy + m(2) * qz + m(3)
                     pyw = m(4) * qx + m(5) * qy + m(6) * qz + m(7)
                     pzw = m(8) * qx + m(9) * qy + m(10) * qz + m(11)
+                    if extra_hit is not None:
+                        # detached-recompute modes: no-winner lanes
+                        # carry an all-zero row ("carry") — a zero
+                        # object normal reaches _normalize3 and its
+                        # 1/sqrt(0) VJP poisons the gmat cotangents
+                        # (NaN in TRS grads).  Substitute a unit axis
+                        # on miss lanes: output-neutral (better=False
+                        # discards them below), forward-identical on
+                        # every hit lane.
+                        nox = jnp.where(hit, nox, 1.0)
+                        noy = jnp.where(hit, noy, 0.0)
+                        noz = jnp.where(hit, noz, 0.0)
                     face = rdx * nox + rdy * noy + rdz * noz
                     flip = jnp.where(face < 0.0, 1.0, -1.0)
                     nx0 = (m(24) * nox + m(25) * noy + m(26) * noz) * flip
@@ -838,7 +869,11 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         pxw = pxw + tpl * m(33)
                         pyw = pyw + tpl * m(34)
                         pzw = pzw + tpl * m(35)
-                    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    # guard the radicand for miss lanes: output-neutral
+                    # (masked to NO_HIT below) but keeps sqrt's VJP off
+                    # exact zeros in the bvh_grad recompute
+                    dd2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    dist = jnp.sqrt(jnp.where(hit, dd2, 1.0))
                     dist = jnp.where(hit, dist, jnp.float32(NO_HIT))
 
                     better = dist < best["dist"]
@@ -943,6 +978,12 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         best["qx"] = prev["qx"]
                         best["qy"] = prev["qy"]
                         best["qz"] = prev["qz"]
+                    return best, tt, hit
+
+                def leaf_body(sl, carry, *, mt_shade_fold=mt_shade_fold):
+                    best, t_loc = carry
+                    tm = lambda k: tri_ref[sl, k]
+                    best, tt, hit = mt_shade_fold(tm, best)
                     # any in-geom hit bounds the in-geom search (world
                     # distance is monotonic in object t per ray)
                     t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
@@ -984,10 +1025,126 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
                     return nxt, best, t_loc
 
-                _, best, _ = jax.lax.while_loop(
-                    lambda c: c[0] < n_nodes_g, trav_body,
-                    (jnp.int32(0), best, t0),
+                if not bvh_grad:
+                    _, best, _ = jax.lax.while_loop(
+                        lambda c: c[0] < n_nodes_g, trav_body,
+                        (jnp.int32(0), best, t0),
+                    )
+                    continue
+
+                # ---- bvh_grad: detached winner traversal ----
+                # two flavors, one traversal:
+                #   "gather" (True) — record the winning row INDEX,
+                #     gather the row after the loop and recompute its
+                #     hit differentiably.  Full gradients incl.
+                #     tri_verts; XLA engines only (the gather's
+                #     transpose is a scatter-add Mosaic cannot lower,
+                #     and lane-replicating (T, LANES) tables to feed
+                #     tpu.dynamic_gather would blow VMEM at mesh scale).
+                #   "carry" — carry the winning row's VALUES (12/18
+                #     planes, detached) through the while_loop and
+                #     recompute from those.  No gather at all, so the
+                #     in-kernel reverse sweep (_vjp_kernel) lowers on
+                #     Mosaic: TRS/camera/material/NEE gradients for
+                #     mesh scenes in-kernel; tri_verts gradients stay
+                #     on the planes engine (same Mosaic-scatter
+                #     exclusion as texel gradients).
+                carry_vals = bvh_grad == "carry"
+                n_vcols = 18 if tex_here else 12
+                sg = jax.lax.stop_gradient
+                tri_sg = sg(tri_ref)
+                live_sg = None if live is None else sg(live)
+
+                def leaf_w(sl, carry, *, rox=sg(rox), roy=sg(roy),
+                           roz=sg(roz), rdx=sg(rdx), rdy=sg(rdy),
+                           rdz=sg(rdz), tri_sg=tri_sg):
+                    widx, t_loc, vals = carry
+                    tm = lambda k: tri_sg[sl, k]
+                    v0x, v0y, v0z = tm(0), tm(1), tm(2)
+                    e1x, e1y, e1z = tm(3), tm(4), tm(5)
+                    e2x, e2y, e2z = tm(6), tm(7), tm(8)
+                    pvx = rdy * e2z - rdz * e2y
+                    pvy = rdz * e2x - rdx * e2z
+                    pvz = rdx * e2y - rdy * e2x
+                    det = pvx * e1x + pvy * e1y + pvz * e1z
+                    ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit = ok & (u >= 0.0) & (vv >= 0.0) \
+                        & (u + vv <= 1.0) & (tt > 0.0)
+                    upd = hit & (tt < t_loc)
+                    if carry_vals:
+                        vals = tuple(
+                            jnp.where(upd, tm(k), v)
+                            for k, v in enumerate(vals)
+                        )
+                    return (jnp.where(upd, sl, widx),
+                            jnp.where(upd, tt, t_loc), vals)
+
+                def trav_w(carry, *, rox=sg(rox), roy=sg(roy),
+                           roz=sg(roz), irdx=sg(irdx), irdy=sg(irdy),
+                           irdz=sg(irdz), slab=slab, leaf_w=leaf_w,
+                           node_off=node_off, tri_off=tri_off,
+                           live=live_sg):
+                    n, widx, t_loc, vals = carry
+                    nm = lambda k: nodes_ref[node_off + n, k]
+                    tax, tbx = slab(nm(0), nm(3), rox, irdx)
+                    tay, tby = slab(nm(1), nm(4), roy, irdy)
+                    taz, tbz = slab(nm(2), nm(5), roz, irdz)
+                    tnear = jnp.maximum(
+                        jnp.maximum(tax, tay),
+                        jnp.maximum(taz, jnp.float32(0.0)),
+                    )
+                    tfar = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+                    lane_hit = (tnear <= tfar) & (tnear < t_loc)
+                    if live is not None:
+                        lane_hit = lane_hit & (live > 0.0)
+                    any_hit = jnp.any(lane_hit)
+                    skip = nm(6).astype(jnp.int32)
+                    start = nm(7).astype(jnp.int32)
+                    count = nm(8).astype(jnp.int32)
+                    is_leaf = count > 0
+
+                    def do_leaf(c):
+                        return jax.lax.fori_loop(
+                            tri_off + start, tri_off + start + count,
+                            leaf_w, c,
+                        )
+
+                    widx, t_loc, vals = jax.lax.cond(
+                        any_hit & is_leaf, do_leaf, lambda c: c,
+                        (widx, t_loc, vals),
+                    )
+                    nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
+                    return nxt, widx, t_loc, vals
+
+                zero_p = jnp.zeros((SUB, LANES), jnp.float32)
+                vals0 = tuple(zero_p for _ in range(n_vcols)) \
+                    if carry_vals else ()
+                _, widx, _, wvals = jax.lax.while_loop(
+                    lambda c: c[0] < n_nodes_g, trav_w,
+                    (jnp.int32(0),
+                     jnp.full((SUB, LANES), -1, jnp.int32), sg(t0),
+                     vals0),
                 )
+                # ---- differentiable recompute of the winner's hit:
+                # the winner's triangle row per lane (gathered, or the
+                # carried value planes) through the SAME fold ops
+                # (identical predicates on identical values ->
+                # bit-parity with the fused traversal fold).
+                if carry_vals:
+                    tmw = lambda k: wvals[k]
+                else:
+                    wsafe = jnp.maximum(widx, 0)
+                    tmw = lambda k: tri_ref[wsafe, k]
+                best, _, _ = mt_shade_fold(tmw, best,
+                                           extra_hit=widx >= 0)
 
         if tex_here or btex_here:
             def _bilin3(off_p, th, tw, uu, vv):
@@ -2531,7 +2688,7 @@ def material_grads_pallas(scene, ct, it0, n_spp, interpret=False):
 
 def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
                 width, height, depth, n_pixels, n_tris=0, n_spp=1,
-                features=(True,) * 7, nee_lights=()):
+                features=(True,) * 7, nee_lights=(), bvh_meta=()):
     """Fused value-and-gradient tile kernel: ``jax.vjp`` straight
     through the VMEM trace.
 
@@ -2559,6 +2716,7 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     nee = bool(nee_lights)
     rest = list(rest)
     tri_ref = rest.pop(0) if n_tris else None
+    nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
     ct_r_ref = rest.pop(0)
     ct_g_ref = rest.pop(0)
@@ -2580,6 +2738,7 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     mats0 = mats_ref[:, :]
     gmat0 = gmat_ref[:, :]
     tri0 = tri_ref[:, :] if n_tris else None
+    nodes0 = nodes_ref[:, :] if (n_tris and bvh_meta) else None
     lights0 = lights_ref[:, :] if nee else None
     ct = (ct_r_ref[:, :], ct_g_ref[:, :], ct_b_ref[:, :])
 
@@ -2588,12 +2747,20 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             cam_v, mats_v, gmat_v, lights_v = tables
         else:
             (cam_v, mats_v, gmat_v), lights_v = tables, None
+        # mesh scenes: detached BVH traversal carrying the winner's
+        # value planes ("carry" mode) — the while_loop stays
+        # primal-only under jax.vjp (no transpose, which Mosaic
+        # cannot lower) and the winner recompute is straight-line
+        # differentiable math.  tri0/nodes0 are closure constants:
+        # tri_verts gradients ride the planes engine (Mosaic has no
+        # scatter for the gather transpose).
         return _make_tracer(
             cam_v, mats_v, gmat_v, tri0, lights_v,
             geom_types=geom_types, width=width, height=height,
             depth=depth, n_tris=n_tris, features=features,
             nee_lights=nee_lights, pix_u=pix_u, fx=fx, fy=fy,
-            valid=valid,
+            valid=valid, nodes=nodes0, bvh_meta=bvh_meta,
+            bvh_grad="carry" if bvh_meta else False,
         )
 
     tables0 = ((cam0, mats0, gmat0, lights0) if nee
@@ -2674,10 +2841,11 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 
 @functools.partial(jax.jit, static_argnames=(
     "resolution", "trace_depth", "geom_types", "interpret", "n_spp",
-    "features", "nee_lights"))
+    "features", "nee_lights", "bvh_meta"))
 def _run_vjp(cam, mats, gmat, tri, lights, ct_planes, it, resolution,
              trace_depth, geom_types, interpret=False, n_spp=1,
-             features=(True,) * 7, nee_lights=()):
+             features=(True,) * 7, nee_lights=(), nodes=None,
+             bvh_meta=()):
     """pallas_call wrapper for :func:`_vjp_kernel`.  Returns
     (radiance (P,3), d_cam, d_mats, d_gmat[, d_lights]) — gradients of
     ``sum(ct * radiance)`` w.r.t. the packed tables."""
@@ -2688,10 +2856,12 @@ def _run_vjp(cam, mats, gmat, tri, lights, ct_planes, it, resolution,
     n_tris = 0 if tri is None else tri.shape[0]
     nee = bool(nee_lights)
 
+    bvh_meta = bvh_meta if n_tris else ()
     kernel = functools.partial(
         _vjp_kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
         n_spp=n_spp, features=features, nee_lights=nee_lights,
+        bvh_meta=bvh_meta,
     )
     tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
@@ -2708,6 +2878,9 @@ def _run_vjp(cam, mats, gmat, tri, lights, ct_planes, it, resolution,
     if n_tris:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(tri)
+        if bvh_meta:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(nodes)
     if nee:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(lights)
@@ -2768,7 +2941,9 @@ def _render_vjp_jit(scene, params, ct, it0, n_spp, interpret, features,
     tables, pack_vjp = jax.vjp(pack, params)
     cam, mats, gmat = tables[:3]
     lights = tables[3] if nee else None
-    _, _, _, tri, _ = _pack_scene(scene)   # meshes not differentiated
+    # tri/nodes are closure constants to the kernel ("carry" mode):
+    # tri_verts gradients ride the planes engine (Mosaic scatter limit)
+    _, _, _, tri, nodes = _pack_scene(scene)
 
     width, height = scene.resolution
     n_pixels = width * height
@@ -2785,7 +2960,8 @@ def _render_vjp_jit(scene, params, ct, it0, n_spp, interpret, features,
         cam, mats, gmat, tri, lights, ct_planes,
         jnp.asarray(it0, jnp.int32), tuple(scene.resolution),
         int(scene.trace_depth), tuple(scene.geoms.type), interpret,
-        n_spp, features, nee_lights,
+        n_spp, features, nee_lights, nodes=nodes,
+        bvh_meta=scene.mesh.bvh_meta,
     )
     rad = outs[0]
     (param_grads,) = pack_vjp(tuple(outs[1:]))
@@ -2804,8 +2980,15 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     parameter chaining through scene packing happens host-side via the
     same differentiable code the XLA engine uses.
 
-    Triangle-mesh and image-textured scenes fall back to
-    render.diff.render_value_and_pixel_grad semantics (XLA autodiff).
+    Mesh scenes run the detached-winner BVH traversal in "carry" mode
+    (the while_loop stays primal-only and the winner recompute is
+    straight-line math, so the whole sweep lowers on Mosaic):
+    TRS/camera/material/NEE gradients in-kernel; ``tri_verts``
+    gradients are the one exclusion (the winner gather's transpose is
+    a scatter-add Mosaic cannot lower) — those ride the planes engine
+    (render.diff engine='planes', bvh_grad).  Image-textured scenes
+    fall back to render.diff.render_loss_and_grad (same scatter limit
+    on texel gradients).
 
     Returns (accumulated radiance (P,3), grads dict matching
     render.diff.split_params).
@@ -2815,10 +2998,16 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     has_tex = any(t >= 0 for t in scene.texture_ids) or any(
         t >= 0 for t in scene.bump_texture_ids
     )
-    if has_tex or scene.mesh.count:
+    if has_tex:
         raise NotImplementedError(
-            "render_vjp_pallas: textured / mesh scenes use "
+            "render_vjp_pallas: textured scenes use "
             "render.diff.render_loss_and_grad (XLA autodiff)"
+        )
+    if scene.mesh.count and not scene.mesh.bvh_meta:
+        raise NotImplementedError(
+            "render_vjp_pallas: mesh scenes need the BVH (scene/bvh.py "
+            "builds one at load); the legacy linear fold's transpose "
+            "is a scan Mosaic cannot lower"
         )
     params = split_params(scene)
     # static light structure in pure python — calling _pack_lights here

@@ -305,6 +305,15 @@ def make_sharded_renderer(scene: Scene, compaction: str = "mask",
     (like the unsharded CLI path) when the scene's textures exceed the
     in-kernel ceiling."""
     mesh = make_mesh()
+    if engine in ("pallas", "planes") and compaction == "sort":
+        print(
+            "[pathtrace_tpu] WARNING: --compaction sort is a "
+            "wavefront-engine mode; the tiled "
+            f"{engine} engine masks dead lanes instead (same image, "
+            "no densify pass) — rendering proceeds on "
+            f"{engine} with masking",
+            flush=True,
+        )
     if engine == "pallas":
         from ..ops.pallas.megakernel import _xla_fallback
 
@@ -416,10 +425,15 @@ def sharded_grad_step_pallas(scene: Scene, target, it0: int,
     has_tex = any(t >= 0 for t in scene.texture_ids) or any(
         t >= 0 for t in scene.bump_texture_ids
     )
-    if has_tex or scene.mesh.count:
+    if has_tex:
         raise NotImplementedError(
-            "sharded_grad_step_pallas: textured/mesh scenes use "
+            "sharded_grad_step_pallas: textured scenes use "
             "sharded_grad_step (XLA autodiff)"
+        )
+    if scene.mesh.count and not scene.mesh.bvh_meta:
+        raise NotImplementedError(
+            "sharded_grad_step_pallas: mesh scenes need the BVH "
+            "(render_vjp_pallas 'carry'-mode traversal)"
         )
     ndev = mesh.devices.size
     if n_iters % ndev:

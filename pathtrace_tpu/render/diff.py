@@ -84,7 +84,7 @@ def render_mean(scene: Scene, it0, n_iters: int, compaction="mask",
         from .plane_engine import pathtrace_batch_planes
 
         rad, _ = pathtrace_batch_planes(
-            scene, it0, n_iters, nee=nee, use_bvh=False,
+            scene, it0, n_iters, nee=nee, bvh_grad=True,
         )
         return rad / float(n_iters)
     pix = jnp.arange(scene.pixel_count, dtype=jnp.int32)
@@ -121,9 +121,12 @@ def _loss_grad_planes(scene: Scene, target, it0, n_iters: int, nee,
     params = split_params(scene)
 
     def loss_fn(params):
+        # bvh_grad: BVH traversal detached to the winning triangle,
+        # hit recomputed differentiably -> mesh gradients at traversal
+        # speed (same estimator as the old use_bvh=False linear fold)
         rad, _ = _batch_jit_planes(
             merge_params(scene, params), it0, n_iters, features, nee,
-            False, tex_geom, tex_used, btex_geom, use_bvh=False,
+            False, tex_geom, tex_used, btex_geom, bvh_grad=True,
         )
         img = rad / float(n_iters)
         return jnp.mean((img - target) ** 2)

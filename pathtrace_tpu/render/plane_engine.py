@@ -58,7 +58,8 @@ def _tex_fetch_direct(tab, flat_idx):
 def _run_planes(cam, mats, gmat, tri, lights, it, resolution,
                 trace_depth, geom_types, n_spp, features, nee_lights,
                 nodes=None, bvh_meta=(), rr_mode=False, tex_geom=(),
-                btex_geom=(), texs=None, pix0=None, local_pixels=None):
+                btex_geom=(), texs=None, pix0=None, local_pixels=None,
+                bvh_grad=False):
     """vmap-over-tiles mirror of megakernel._run: same tile/pixel
     mapping (global flat pixel id keyed RNG, so any pixel sharding
     renders the identical image), same in-trace spp loop, same
@@ -87,7 +88,7 @@ def _run_planes(cam, mats, gmat, tri, lights, it, resolution,
             pix_u=pix_u, fx=fx, fy=fy, valid=valid, nodes=nodes,
             bvh_meta=bvh_meta, rr_mode=rr_mode, tex_geom=tex_geom,
             btex_geom=btex_geom, texr=texr, texg=texg, texb=texb,
-            tex_fetch=_tex_fetch_direct,
+            tex_fetch=_tex_fetch_direct, bvh_grad=bvh_grad,
         )
 
         def one_sample(sidx, acc):
@@ -133,10 +134,22 @@ def _tex_statics_planes(scene):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_iters", "features", "nee", "rr", "tex_geom", "tex_used",
-    "btex_geom", "local_pixels", "use_bvh"))
+    "btex_geom", "local_pixels", "use_bvh", "bvh_grad"))
 def _batch_jit_planes(scene, it0, n_iters, features, nee=False,
                       rr=False, tex_geom=(), tex_used=(), btex_geom=(),
-                      pix0=None, local_pixels=None, use_bvh=True):
+                      pix0=None, local_pixels=None, use_bvh=True,
+                      bvh_grad=False):
+    if not use_bvh and scene.mesh.bvh_meta:
+        # the linear scan-fold expects the legacy per-tri 128-col
+        # layout; _pack_scene keys the layout off bvh_meta, so strip
+        # the BVH before packing.  (Without this the fold read v0/e1
+        # from past the compact 16-col rows — gather clamp made every
+        # triangle degenerate and the mesh silently invisible.)
+        import dataclasses as _dc
+
+        scene = _dc.replace(scene, mesh=_dc.replace(
+            scene.mesh, bvh_nodes=None, bvh_order=None, bvh_meta=(),
+        ))
     cam, mats, gmat, tri, nodes = mk._pack_scene(scene, tex_geom)
     lights, nee_lights = (
         mk._pack_lights(scene) if nee else (None, ())
@@ -150,25 +163,29 @@ def _batch_jit_planes(scene, it0, n_iters, features, nee=False,
         nodes=nodes if use_bvh else None,
         bvh_meta=scene.mesh.bvh_meta if use_bvh else (), rr_mode=rr,
         tex_geom=tex_geom, btex_geom=btex_geom, texs=texs, pix0=pix0,
-        local_pixels=local_pixels,
+        local_pixels=local_pixels, bvh_grad=bvh_grad,
     )
 
 
 def pathtrace_batch_planes(scene, it0, n_iters: int, nee=False,
-                           rr=False, use_bvh=True):
+                           rr=False, use_bvh=True, bvh_grad=False):
     """``n_iters`` samples/pixel in one jit call on the fused-plane
     XLA engine.  Returns (accumulated radiance (P,3), counts (depth,)
     summed over samples) — the same contract as
     megakernel.pathtrace_batch_pallas, bit-compatible output.
 
-    ``use_bvh=False`` traverses mesh triangles with the linear
-    scan-fold instead of the BVH while_loop: slower, but reverse-mode
-    differentiable (while_loop has no transpose rule) — the setting
-    render/diff.py uses for mesh-scene gradients on this engine."""
+    ``bvh_grad=True`` keeps the BVH but makes mesh scenes reverse-mode
+    differentiable: the while_loop traverses detached values and
+    records the winning triangle per lane; the hit is recomputed
+    differentiably from the winner row (bit-identical forward, exact
+    gradients wherever the detached estimator is) — the fast-gradient
+    setting render/diff.py uses.  ``use_bvh=False`` is the legacy
+    O(T) linear scan-fold (differentiable but ~BVH-speedup slower);
+    kept as the oracle the bvh_grad tests compare against."""
     tg, tu, bg = _tex_statics_planes(scene)
     return _batch_jit_planes(
         scene, it0, n_iters, mk._scene_features(scene), nee, rr,
-        tg, tu, bg, use_bvh=use_bvh,
+        tg, tu, bg, use_bvh=use_bvh, bvh_grad=bvh_grad,
     )
 
 

@@ -306,3 +306,120 @@ def test_texel_gradients_planes():
     g_wv = np.asarray(jax.grad(loss_wave)(t0))
     assert np.abs(g_pl).sum() > 0, "texel grads must be nonzero"
     np.testing.assert_allclose(g_pl, g_wv, rtol=1e-3, atol=1e-7)
+
+
+class TestBvhGrad:
+    """Differentiable meshes at traversal speed (VERDICT r2 #2).
+
+    ``bvh_grad=True`` runs the BVH while_loop on DETACHED values,
+    records only the winning triangle row per lane, and recomputes
+    that one hit differentiably (megakernel._make_tracer).  The winner
+    is piecewise-constant in the scene parameters, so gradients are
+    exact wherever the detached estimator is (render/diff.py) — and
+    the forward must reproduce the plain BVH trace."""
+
+    @pytest.fixture(scope="class")
+    def mesh_scene(self):
+        sc = pt.load_scene("scenes/cornell_mesh.txt")
+        return dataclasses.replace(sc, resolution=(24, 24),
+                                   trace_depth=3)
+
+    def test_forward_matches_plain_bvh(self, mesh_scene):
+        a, ca = pathtrace_batch_planes(mesh_scene, 1, 2, nee=True)
+        b, cb = pathtrace_batch_planes(mesh_scene, 1, 2, nee=True,
+                                       bvh_grad=True)
+        # identical predicates on identical values; XLA may fuse the
+        # gathered recompute differently -> 1-ulp noise, same winners
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-6)
+        assert _bit_equal(ca, cb)
+
+    def test_linear_fold_renders_the_mesh(self, mesh_scene):
+        """Regression: use_bvh=False on a BVH-built scene used to pack
+        the compact 16-col tri rows under the legacy 128-col fold —
+        gather clamp made every triangle degenerate and the mesh was
+        silently invisible (zero tri_verts grads all round 2)."""
+        lin, _ = pathtrace_batch_planes(mesh_scene, 1, 2, nee=True,
+                                        use_bvh=False)
+        stripped = dataclasses.replace(
+            mesh_scene, mesh=dataclasses.replace(
+                mesh_scene.mesh,
+                tri_verts=np.asarray(mesh_scene.mesh.tri_verts)[:0],
+                tri_geom=np.asarray(mesh_scene.mesh.tri_geom)[:0],
+                bvh_nodes=None, bvh_order=None, bvh_meta=(),
+            ),
+        )
+        nomesh, _ = pathtrace_batch_planes(stripped, 1, 2, nee=True)
+        assert np.abs(np.asarray(lin) - np.asarray(nomesh)).max() > 0.1
+        bvh, _ = pathtrace_batch_planes(mesh_scene, 1, 2, nee=True)
+        np.testing.assert_allclose(np.asarray(lin), np.asarray(bvh),
+                                   rtol=0, atol=1e-6)
+
+    def test_gradients_match_linear_fold(self, mesh_scene):
+        import jax
+        import jax.numpy as jnp
+
+        from pathtrace_tpu.ops.pallas import megakernel as mk
+        from pathtrace_tpu.render import diff
+        from pathtrace_tpu.render.plane_engine import (
+            _batch_jit_planes, _tex_statics_planes,
+        )
+
+        sc = mesh_scene
+        tg, tu, bg = _tex_statics_planes(sc)
+        feats = mk._scene_features(sc)
+        params = diff.split_params(sc)
+        tgt = jnp.zeros((sc.pixel_count, 3), jnp.float32)
+
+        def loss(params, **kw):
+            rad, _ = _batch_jit_planes(
+                diff.merge_params(sc, params), 1, 2, feats, True,
+                False, tg, tu, bg, **kw)
+            return jnp.mean((rad / 2.0 - tgt) ** 2)
+
+        g_lin = jax.grad(lambda p: loss(p, use_bvh=False))(params)
+        g_bvh = jax.grad(lambda p: loss(p, bvh_grad=True))(params)
+        assert np.abs(np.asarray(g_bvh["tri_verts"])).max() > 0
+        for (kl, ll), (kb, lb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g_lin),
+                   key=lambda kl: str(kl[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(g_bvh),
+                   key=lambda kl: str(kl[0])),
+        ):
+            assert str(kl) == str(kb)
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(ll), rtol=1e-3, atol=1e-7,
+                err_msg=str(kl),
+            )
+
+    def test_tri_verts_grad_matches_fd(self, mesh_scene):
+        """Central finite difference on one mesh vertex coordinate —
+        the winner set is locally constant, so the detached estimator
+        is exact there."""
+        import jax
+        import jax.numpy as jnp
+
+        from pathtrace_tpu.render import diff
+
+        sc = mesh_scene
+        tgt = np.zeros((sc.pixel_count, 3), np.float32)
+
+        def loss_at(tv):
+            s = dataclasses.replace(
+                sc, mesh=dataclasses.replace(sc.mesh, tri_verts=tv))
+            l, _ = diff.render_loss_and_grad(s, tgt, 1, 2, nee=True,
+                                             engine="planes")
+            return float(l)
+
+        _, g = diff.render_loss_and_grad(sc, tgt, 1, 2, nee=True,
+                                         engine="planes")
+        g_tv = np.asarray(g["tri_verts"])
+        # the largest-gradient vertex coordinate
+        idx = np.unravel_index(np.argmax(np.abs(g_tv)), g_tv.shape)
+        eps = 2e-3
+        tv0 = np.asarray(sc.mesh.tri_verts, np.float32)
+        tp = tv0.copy(); tp[idx] += eps
+        tm = tv0.copy(); tm[idx] -= eps
+        fd = (loss_at(jnp.asarray(tp)) - loss_at(jnp.asarray(tm))) / (
+            2 * eps)
+        assert g_tv[idx] == pytest.approx(fd, rel=0.05, abs=1e-8)

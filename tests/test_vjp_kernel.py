@@ -268,8 +268,83 @@ SCALE       3 3 3
         _assert_close(g["translation"], gref["translation"])
         _assert_close(g["materials"].color, gref["materials"].color)
 
-    def test_mesh_rejected(self):
+    MESH_RIG = """\
+MATERIAL 0
+RGB         1 .95 .85
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .85 .4 .35
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+CAMERA
+RES         12 12
+FOVY        45
+ITERATIONS  8
+DEPTH       2
+FILE        vjpmesh
+EYE         0 2 9
+VIEW        0 -.1 -1
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 7 0
+ROTAT       0 0 0
+SCALE       4 .3 4
+
+OBJECT 1
+cube
+material 1
+TRANS       0 -1 0
+ROTAT       0 10 0
+SCALE       10 .3 10
+
+OBJECT 2
+mesh scenes/icosahedron.obj
+material 1
+TRANS       0 1.5 0
+ROTAT       0 20 0
+SCALE       2.5 2.5 2.5
+"""
+
+    def test_mesh_scene_grads(self):
+        """Mesh scenes run the in-kernel sweep via the detached-winner
+        BVH 'carry' traversal (VERDICT r2 #2): the while_loop stays
+        primal-only, the winner recompute is differentiable, and
+        TRS/camera/material grads match the wavefront autodiff.
+        tri_verts grads are the documented exclusion (zero here; the
+        planes engine carries them — tests/test_planes.TestBvhGrad)."""
+        scene = pt.parse_scene(self.MESH_RIG)
+        assert scene.mesh.count and scene.mesh.bvh_meta
+        ct = _masked_ct(scene, nee=True)
+        _, g = render_vjp_pallas(scene, ct, 1, 1, interpret=True,
+                                 nee=True)
+        gref = _ref_grads(scene, ct, nee=True)
+        _assert_close(g["translation"], gref["translation"])
+        _assert_close(g["rotation"], gref["rotation"])
+        _assert_close(g["scale"], gref["scale"])
+        _assert_close(g["materials"].color, gref["materials"].color)
+        _assert_close(g["camera"].view, gref["camera"].view)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert np.abs(np.asarray(g["tri_verts"])).max() == 0
+
+    def test_mesh_without_bvh_rejected(self):
         scene = pt.load_scene("scenes/cornell_mesh.txt")
+        scene = dc.replace(scene, mesh=dc.replace(
+            scene.mesh, bvh_nodes=None, bvh_order=None, bvh_meta=()))
         with pytest.raises(NotImplementedError):
             render_vjp_pallas(
                 scene, np.ones((scene.pixel_count, 3), np.float32),
