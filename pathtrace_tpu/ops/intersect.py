@@ -198,7 +198,8 @@ def intersect_triangles(origins, dirs, tri_verts, tri_geom, fwd, inv, inv_t,
 
 def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
                     tri_verts=None, tri_geom=None, velocity=None,
-                    time=None, tri_uv=None, want_uv=False, xp=jnp):
+                    time=None, tri_uv=None, want_uv=False,
+                    tri_tang=None, xp=jnp):
     """Nearest hit over all geoms (and mesh triangles if present).
 
     Returns a dict with per-ray fields: ``dist`` (N,), ``hit`` (N,) bool,
@@ -223,8 +224,14 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
     )
     if want_uv:
         best["uv"] = xp.zeros((n, 2), dtype=origins.dtype)
+    want_tang = tri_tang is not None
+    if want_tang:
+        # per-ray winner UV tangent data (grad_u, grad_v), mesh bump
+        # mapping — zeros on primitive winners (their charts are
+        # analytic, integrator._bumptex_normal)
+        best["tang"] = xp.zeros((n, 6), dtype=origins.dtype)
 
-    def fold(best, d, p, nr, o, gidx, uv=None):
+    def fold(best, d, p, nr, o, gidx, uv=None, tang=None):
         better = d < best["dist"]
         b3 = better[:, None]
         out = dict(
@@ -239,6 +246,13 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
                 better[:, None],
                 uv if uv is not None else xp.zeros((n, 2), origins.dtype),
                 best["uv"],
+            )
+        if want_tang:
+            out["tang"] = xp.where(
+                better[:, None],
+                tang if tang is not None
+                else xp.zeros((n, 6), origins.dtype),
+                best["tang"],
             )
         return out
 
@@ -277,7 +291,7 @@ def intersect_scene(origins, dirs, geom_type, fwd, inv, inv_t,
         best = _fold_triangles(
             best, fold, origins, dirs, tri_verts, tri_geom, fwd, inv,
             inv_t, velocity=velocity, time=time, tri_uv=tri_uv,
-            want_uv=want_uv, xp=xp,
+            want_uv=want_uv, tri_tang=tri_tang, xp=xp,
         )
 
     best["hit"] = best["dist"] < NO_HIT
@@ -393,7 +407,7 @@ def _one_sphere(origins, dirs, fwd_g, inv_g, inv_t_g, xp=jnp,
 
 def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
                     fwd, inv, inv_t, velocity=None, time=None,
-                    tri_uv=None, want_uv=False, xp=jnp):
+                    tri_uv=None, want_uv=False, tri_tang=None, xp=jnp):
     """Fold mesh triangles into the running-min via a `lax.scan` over
     the triangle axis (python loop under numpy).
 
@@ -422,6 +436,7 @@ def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
         rest = tri[5:]
         vel = rest.pop(0) if velocity is not None else None
         uv3 = rest.pop(0) if want_uv else None
+        tang6 = rest.pop(0) if tri_tang is not None else None
         o_t = origins
         if velocity is not None:
             o_t = origins - time[:, None] * vel[None]
@@ -433,14 +448,18 @@ def _fold_triangles(best, fold, origins, dirs, tri_verts, tri_geom,
         if velocity is not None:
             p = p + time[:, None] * vel[None]
         n = origins.shape[0]
+        tang = (xp.broadcast_to(tang6[None], (n, 6))
+                if tang6 is not None else None)
         return fold(best, d, p, nr, o,
-                    xp.full((n,), gi, dtype=xp.int32), uv), None
+                    xp.full((n,), gi, dtype=xp.int32), uv, tang), None
 
     xs = (tri_verts, fwd_g, inv_g, inv_t_g, gidx)
     if velocity is not None:
         xs = xs + (vel_g,)
     if want_uv:
         xs = xs + (tri_uv,)
+    if tri_tang is not None:
+        xs = xs + (tri_tang,)
     if xp is jnp:
         import jax
 
@@ -531,3 +550,43 @@ def _intersect_one_triangle(origins, dirs, tri, fwd_g, inv_g, inv_t_g,
         )
         out = out + (uv,)
     return out
+
+
+def triangle_uv_gradients(tri_verts, tri_uv, xp=jnp):
+    """Per-triangle object-space gradients of the UV chart:
+    (grad_u (T,3), grad_v (T,3)).
+
+    On a triangle, (u, v) are affine in position, so their spatial
+    gradients are constant per face: ``g_u`` is the in-plane vector
+    with ``g_u . e1 = du1``, ``g_u . e2 = du2`` (the dual basis of the
+    edge span, solved via the 2x2 Gram system).  These are the
+    triangle analogue of the analytic sphere/cube chart gradients in
+    render.integrator._bumptex_normal — they chain dh/du, dh/dv into
+    an object-space height gradient for mesh bump mapping (the
+    reference's bump-mapping extra, README.md:104, PBRT 9.3, on its
+    arbitrary-mesh extra, README.md:113-117).
+
+    Degenerate parameterizations (zero-area face or zero UV area)
+    return zero gradients — bump is inert there, never NaN.
+    """
+    tv = xp.asarray(tri_verts, dtype=xp.float32)
+    uv = xp.asarray(tri_uv, dtype=xp.float32)
+    e1 = tv[:, 1] - tv[:, 0]          # (T,3)
+    e2 = tv[:, 2] - tv[:, 0]
+    du1 = uv[:, 1, 0] - uv[:, 0, 0]   # (T,)
+    du2 = uv[:, 2, 0] - uv[:, 0, 0]
+    dv1 = uv[:, 1, 1] - uv[:, 0, 1]
+    dv2 = uv[:, 2, 1] - uv[:, 0, 1]
+    g11 = xp.sum(e1 * e1, axis=-1)
+    g12 = xp.sum(e1 * e2, axis=-1)
+    g22 = xp.sum(e2 * e2, axis=-1)
+    det = g11 * g22 - g12 * g12
+    ok = xp.abs(det) > 1e-20
+    inv_det = xp.where(ok, 1.0 / xp.where(ok, det, 1.0), 0.0)
+    a_u = (g22 * du1 - g12 * du2) * inv_det
+    b_u = (g11 * du2 - g12 * du1) * inv_det
+    a_v = (g22 * dv1 - g12 * dv2) * inv_det
+    b_v = (g11 * dv2 - g12 * dv1) * inv_det
+    g_u = a_u[:, None] * e1 + b_u[:, None] * e2
+    g_v = a_v[:, None] * e1 + b_v[:, None] * e2
+    return g_u, g_v

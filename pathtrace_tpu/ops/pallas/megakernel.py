@@ -327,6 +327,14 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         the any-lane test (their best entries are unused by shade)."""
         tex_here = tex_mode and want_tex  # shadow rays skip textures
         btex_here = btex_mode and want_tex
+        # mesh bump mapping: any MESH geom with a BUMPTEX chart means
+        # the fold also carries the winner triangle's UV tangent
+        # frames (grad_u, grad_v — packed at tri cols 18..23)
+        btex_mesh_here = btex_here and any(
+            btex_geom[g][0] >= 0 and geom_types[g] == T.MESH
+            for g in range(len(geom_types))
+        )
+        TANG_KEYS = ("bgux", "bguy", "bguz", "bgvx", "bgvy", "bgvz")
         big = jnp.float32(NO_HIT)
         best = dict(
             dist=jnp.full((SUB, LANES), big, jnp.float32),
@@ -371,6 +379,9 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             best["qx"] = jnp.zeros((SUB, LANES), jnp.float32)
             best["qy"] = jnp.zeros((SUB, LANES), jnp.float32)
             best["qz"] = jnp.zeros((SUB, LANES), jnp.float32)
+        if btex_mesh_here:
+            for k_t in TANG_KEYS:
+                best[k_t] = jnp.zeros((SUB, LANES), jnp.float32)
 
         for g, gtype in enumerate(geom_types):
             if gtype == T.MESH:
@@ -574,6 +585,11 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 upd["qx"] = sel(qx, best["qx"])
                 upd["qy"] = sel(qy, best["qy"])
                 upd["qz"] = sel(qz, best["qz"])
+            if btex_mesh_here:
+                # primitive winners have analytic charts — pass the
+                # mesh tangent planes through (unused on these lanes)
+                for k_t in TANG_KEYS:
+                    upd[k_t] = best[k_t]
             best = upd
         if n_tris and not bvh_meta:
             def tri_body(t, best):
@@ -734,6 +750,11 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     out_t["qx"] = best["qx"]
                     out_t["qy"] = best["qy"]
                     out_t["qz"] = best["qz"]
+                if btex_mesh_here:
+                    # legacy linear-fold path (stripped-BVH oracle):
+                    # mesh bump inert — tang planes pass through
+                    for k_t in TANG_KEYS:
+                        out_t[k_t] = best[k_t]
                 return out_t
 
             best = jax.lax.fori_loop(0, n_tris, tri_body, best)
@@ -960,7 +981,12 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                                      jnp.float32),
                             prev["t_w"],
                         )
-                    if tex_here:
+                    g_has_btex = (btex_here
+                                  and btex_geom[g][0] >= 0)
+                    if tex_here or g_has_btex:
+                        # barycentric vt interp (uv cols 12..17 are
+                        # packed whenever albedo textures OR mesh
+                        # BUMPTEX are on — _pack_scene)
                         bw = 1.0 - u - vv
                         best["u"] = sel(
                             bw * tm(12) + u * tm(14) + vv * tm(16),
@@ -971,9 +997,17 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                             prev["v"],
                         )
                     elif btex_here:
-                        # mesh winners never bumptexed: carry through
                         best["u"] = prev["u"]
                         best["v"] = prev["v"]
+                    if btex_mesh_here:
+                        # winner triangle's UV tangent frame
+                        # (grad_u, grad_v) for the post-fold mesh
+                        # bump chart; cols 18..23
+                        for i_t, k_t in enumerate(TANG_KEYS):
+                            best[k_t] = (
+                                sel(tm(18 + i_t), prev[k_t])
+                                if g_has_btex else prev[k_t]
+                            )
                     if btex_here:
                         best["qx"] = prev["qx"]
                         best["qy"] = prev["qy"]
@@ -1050,7 +1084,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 #     on the planes engine (same Mosaic-scatter
                 #     exclusion as texel gradients).
                 carry_vals = bvh_grad == "carry"
-                n_vcols = 18 if tex_here else 12
+                n_vcols = (24 if btex_mesh_here
+                           else 18 if tex_here else 12)
                 sg = jax.lax.stop_gradient
                 tri_sg = sg(tri_ref)
                 live_sg = None if live is None else sg(live)
@@ -1228,6 +1263,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             b_w = zplane
             b_k = zplane
             sph_m = zplane
+            mesh_m = zplane
             tinv = [zplane] * 9
             for g_b in range(len(geom_types)):
                 go_b, gh_b, gw_b = btex_geom[g_b]
@@ -1244,6 +1280,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 ]
                 if geom_types[g_b] == T.SPHERE:
                     sph_m = jnp.where(selg, 1.0, sph_m)
+                elif geom_types[g_b] == T.MESH:
+                    mesh_m = jnp.where(selg, 1.0, mesh_m)
 
             eu = 1.0 / jnp.maximum(b_w, 1.0)
             ev = 1.0 / jnp.maximum(b_h, 1.0)
@@ -1280,6 +1318,17 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             gvx = zplane
             gvy = jnp.where(sph_m > 0.0, s_gvy, c_gvy)
             gvz = jnp.where(sph_m > 0.0, 0.0, c_gvz)
+            if btex_mesh_here:
+                # mesh winners: per-triangle UV-chart gradients carried
+                # through the fold (ops/intersect.triangle_uv_gradients
+                # values, packed by _pack_scene at tri cols 18..23)
+                mm = mesh_m > 0.0
+                gux = jnp.where(mm, best["bgux"], gux)
+                guy = jnp.where(mm, best["bguy"], guy)
+                guz = jnp.where(mm, best["bguz"], guz)
+                gvx = jnp.where(mm, best["bgvx"], gvx)
+                gvy = jnp.where(mm, best["bgvy"], gvy)
+                gvz = jnp.where(mm, best["bgvz"], gvz)
             gox_b = hu * gux + hv * gvx
             goy_b = hu * guy + hv * gvy
             goz_b = hu * guz + hv * gvz
@@ -2008,21 +2057,17 @@ def _tex_used(scene):
     by some geom's material, in table-offset order.  Declared-but-
     unreferenced textures neither occupy VMEM nor disqualify the scene
     (host-side only: reads concrete material ids).  Bump maps count
-    only when a SPHERE/CUBE geom references them — mesh BUMPTEX is
-    inert in both engines (no per-tri UV tangent frames), so it
-    neither packs tables nor burns the eligibility caps."""
+    for every geom kind: sphere/cube charts are analytic, mesh
+    triangles carry per-face UV tangent frames
+    (ops/intersect.triangle_uv_gradients via _pack_scene)."""
     mids_all = np.asarray(scene.geoms.material_id)
     mids = {int(m) for m in mids_all}
     used = {
         scene.texture_ids[m] for m in mids
         if scene.texture_ids[m] >= 0
     }
-    prim_mids = {
-        int(m) for g, m in enumerate(mids_all)
-        if int(scene.geoms.type[g]) in (T.SPHERE, T.CUBE)
-    }
     used |= {
-        scene.bump_texture_ids[m] for m in prim_mids
+        scene.bump_texture_ids[m] for m in mids
         if scene.bump_texture_ids[m] >= 0
     }
     return tuple(sorted(used))
@@ -2076,14 +2121,15 @@ def _tex_spec(scene):
 
 def _btex_spec(scene):
     """Static per-geom BUMPTEX height-map chart, same table offsets as
-    :func:`_tex_spec` (one shared table set).  SPHERE/CUBE geoms only —
-    mesh triangles keep their geometric normal (integrator
-    _bumptex_normal: no per-tri UV tangent frames)."""
+    :func:`_tex_spec` (one shared table set).  Every geom kind:
+    sphere/cube charts are analytic (the post-fold section), mesh
+    winners use per-face UV tangent frames packed by
+    :func:`_pack_scene` and carried through the fold."""
     offs = _tex_offsets(scene)
     out = []
     for g, mid in enumerate(np.asarray(scene.geoms.material_id)):
         t = scene.bump_texture_ids[int(mid)]
-        if t >= 0 and int(scene.geoms.type[g]) in (T.SPHERE, T.CUBE):
+        if t >= 0:
             out.append(offs[t])
         else:
             out.append((-1, 0, 0))
@@ -2114,11 +2160,14 @@ def _pack_textures(scene, used):
     return tuple(outs)
 
 
-def _pack_scene(scene, tex_geom=()):
+def _pack_scene(scene, tex_geom=(), btex_geom=()):
     """Scene pytree -> (cam (1,16), mats (G,16), gmat (G,36)) f32.
 
     ``tex_geom`` (static, from :func:`_tex_spec`, () = textures off)
-    adds the per-tri texture chart/vt columns to the triangle tables."""
+    adds the per-tri texture chart/vt columns to the triangle tables;
+    ``btex_geom`` (static, :func:`_btex_spec`) with a chart on a MESH
+    geom additionally packs per-tri UV tangent frames
+    (ops/intersect.triangle_uv_gradients) for mesh bump mapping."""
     width, height = scene.resolution
     view, right, up, tan_x, tan_y = camera_basis(
         scene.camera, width, height
@@ -2208,6 +2257,33 @@ def _pack_scene(scene, tex_geom=()):
             cols = jnp.concatenate([chart, cols], axis=1)
         return cols
 
+    def _tri_tang_cols(order=None):
+        """Per-tri UV-chart gradient columns (T, 6) = (grad_u, grad_v)
+        in object space — the mesh tangent frames for BUMPTEX
+        (integrator._bumptex_normal's mesh branch uses the same
+        values via the fold)."""
+        from ..intersect import triangle_uv_gradients
+
+        tv_l = jnp.asarray(scene.mesh.tri_verts, jnp.float32)
+        uv_l = scene.mesh.tri_uv
+        if uv_l is None:
+            uv_l = jnp.broadcast_to(
+                jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                            jnp.float32)[None],
+                (tv_l.shape[0], 3, 2),
+            )
+        else:
+            uv_l = jnp.asarray(uv_l, jnp.float32)
+        if order is not None:
+            tv_l = tv_l[jnp.asarray(order)]
+            uv_l = uv_l[jnp.asarray(order)]
+        g_u, g_v = triangle_uv_gradients(tv_l, uv_l)
+        return jnp.concatenate([g_u, g_v], axis=1)
+
+    btex_mesh = bool(btex_geom) and any(
+        btex_geom[g][0] >= 0 and int(t) == T.MESH
+        for g, t in enumerate(scene.geoms.type)
+    )
     tri = None
     nodes = None
     if scene.mesh.count:
@@ -2226,13 +2302,16 @@ def _pack_scene(scene, tex_geom=()):
             n_obj = n_obj / jnp.maximum(
                 jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
             )
-            if tex_geom:
+            if tex_geom or btex_mesh:
                 # vt corners at cols 12..17 (chart is geom-static in
-                # the BVH branch) -> (T, 24)
+                # the BVH branch); mesh-BUMPTEX tangent frames at
+                # 18..23 -> (T, 24)
+                tail = (_tri_tang_cols(order) if btex_mesh
+                        else jnp.zeros((tv.shape[0], 6), jnp.float32))
                 tri = jnp.concatenate([
                     v0, e1, e2, n_obj,
                     _tri_uv_cols(order),
-                    jnp.zeros((tv.shape[0], 6), jnp.float32),
+                    tail,
                 ], axis=1)  # (T,24)
             else:
                 tri = jnp.concatenate([
@@ -2465,7 +2544,7 @@ def _scene_features(scene):
                                              "btex_geom"))
 def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
                    rr=False, tex_geom=(), tex_used=(), btex_geom=()):
-    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
+    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom, btex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
@@ -2557,7 +2636,7 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
                nee=False, rr=False, tex_geom=(), tex_used=(),
                btex_geom=(), pix0=None, local_pixels=None):
-    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom)
+    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom, btex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )

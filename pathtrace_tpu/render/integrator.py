@@ -37,7 +37,7 @@ from ..core import rng
 from ..core import vecmath as vm
 from ..core.constants import PI, TRANSMISSION_PUSH
 from ..core.rng import Draw
-from ..core.types import Scene, SPHERE, CUBE
+from ..core.types import Scene, SPHERE, CUBE, MESH
 from ..ops.bsdf import sample_bsdf
 from ..ops.intersect import intersect_scene
 
@@ -170,13 +170,31 @@ def _bounce(scene: Scene, fwd, inv, inv_t, it, depth, state, xp=jnp,
     want_uv = any(t >= 0 for t in scene.texture_ids) or any(
         t >= 0 for t in scene.bump_texture_ids
     )
+    tri_tang = None
+    if scene.mesh.count and any(t >= 0 for t in scene.bump_texture_ids):
+        # mesh bump mapping (README.md:104 on the mesh extra): carry
+        # each winner triangle's UV-chart gradients through the fold
+        # so _bumptex_normal can chain dh/du, dh/dv on meshes too
+        from ..ops.intersect import triangle_uv_gradients
+
+        uv_t = scene.mesh.tri_uv
+        if uv_t is None:
+            uv_t = xp.broadcast_to(
+                xp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                           dtype=xp.float32)[None],
+                (scene.mesh.count, 3, 2),
+            )
+        g_u, g_v = triangle_uv_gradients(
+            scene.mesh.tri_verts, uv_t, xp=xp
+        )
+        tri_tang = xp.concatenate([g_u, g_v], axis=-1)
     isect = intersect_scene(
         o, d, scene.geoms.type, fwd, inv, inv_t,
         tri_verts=scene.mesh.tri_verts if scene.mesh.count else None,
         tri_geom=scene.mesh.tri_geom if scene.mesh.count else None,
         velocity=vel, time=state.get("time"),
         tri_uv=scene.mesh.tri_uv if scene.mesh.count else None,
-        want_uv=want_uv, xp=xp,
+        want_uv=want_uv, tri_tang=tri_tang, xp=xp,
     )
     mid = _take_rows(scene.geoms.material_id, isect["geom_idx"], xp=xp)
     mat = _gather_material(scene.materials, mid, xp=xp)
@@ -428,10 +446,12 @@ def _bumptex_normal(scene, inv_t, q, isect, mid, xp=jnp):
     sphere:  grad u = (-z, 0, x) / (2pi (x^2+z^2)),
              grad v = (0, 2/sqrt(1-4y^2), 0) / pi;
     cube face (dominant-normal axis): grad u / grad v are the unit
-    object axes the face maps from (ops/intersect._one_box).
+    object axes the face maps from (ops/intersect._one_box);
+    mesh triangle: the winner's per-face affine chart gradients
+    (ops/intersect.triangle_uv_gradients), carried through the
+    nearest-hit fold as ``isect['tang']``.
     dh/du, dh/dv come from one-texel central differences of the
-    bilinear sampler.  Mesh triangles keep their geometric normal
-    (UV-tangent frames per triangle are not derived here).
+    bilinear sampler.
     """
     from ..scene.textures import sample_texture
 
@@ -482,8 +502,12 @@ def _bumptex_normal(scene, inv_t, q, isect, mid, xp=jnp):
             ex = xp.eye(3, dtype=q.dtype)
             gu = xp.where((ax == 0)[:, None], ex[2], ex[0])
             gv = xp.where((ax == 1)[:, None], ex[2], ex[1])
+        elif "tang" in isect:
+            # MESH: per-winner-triangle chart gradients from the fold
+            gu = isect["tang"][:, :3]
+            gv = isect["tang"][:, 3:]
         else:
-            continue  # mesh placeholder geoms: no bump chart
+            continue  # mesh winners without tang data: bump inert
         g_g = hu[:, None] * gu + hv[:, None] * gv
         g_obj = xp.where((gi == g)[:, None], g_g, g_obj)
 

@@ -150,7 +150,7 @@ def _batch_jit_planes(scene, it0, n_iters, features, nee=False,
         scene = _dc.replace(scene, mesh=_dc.replace(
             scene.mesh, bvh_nodes=None, bvh_order=None, bvh_meta=(),
         ))
-    cam, mats, gmat, tri, nodes = mk._pack_scene(scene, tex_geom)
+    cam, mats, gmat, tri, nodes = mk._pack_scene(scene, tex_geom, btex_geom)
     lights, nee_lights = (
         mk._pack_lights(scene) if nee else (None, ())
     )

@@ -564,37 +564,58 @@ SCALE       2 2 2
         d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
         assert (d > 1e-3).mean() < 0.005
 
-    def test_mesh_only_bumptex_ignored(self, ktex_dir):
-        """BUMPTEX on a mesh-only material is inert in both engines
-        (no per-tri tangent frames), so it must neither pack VMEM
-        tables nor burn the eligibility caps — even oversized."""
+    def _mesh_bump_scene(self, ktex_dir, strength="0.6"):
         from PIL import Image
 
-        from pathtrace_tpu.ops.pallas.megakernel import (
-            _tex_statics, _tex_used, _xla_fallback,
-            pathtrace_iteration_pallas,
-        )
-
-        rs = np.random.RandomState(19)
-        Image.fromarray(
-            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
-        ).save(os.path.join(ktex_dir, "meshbump.png"))
+        bump = os.path.join(ktex_dir, "meshbump.png")
+        if not os.path.exists(bump):
+            rs = np.random.RandomState(19)
+            # smooth low-frequency height field: visible normal tilt,
+            # no texel-boundary tie-flip noise between engines
+            h = rs.rand(8, 8)
+            h = np.kron(h, np.ones((4, 4)))  # 32x32
+            Image.fromarray(
+                np.repeat((h * 255).astype(np.uint8)[..., None], 3, -1)
+            ).save(bump)
         text = self.SCENE.replace(
             "OBJECT 2\nsphere\nmaterial 1",
             "OBJECT 2\nmesh quad.obj\nmaterial 2",
+        ).replace(
+            "EMITTANCE   0\nTEXTURE     t32.png", "EMITTANCE   0"
         ) + (
             "\nMATERIAL 2\nRGB 1 1 1\nSPECEX 0\nSPECRGB 0 0 0\n"
             "REFL 0\nREFR 0\nREFRIOR 0\nEMITTANCE 0\n"
-            "BUMPTEX meshbump.png 0.5\n"
+            f"BUMPTEX meshbump.png {strength}\n"
         )
-        scene = pt.parse_scene(text, base_dir=ktex_dir)
-        assert not _xla_fallback(scene)   # oversized, but mesh-only
+        return pt.parse_scene(text, base_dir=ktex_dir)
+
+    def test_mesh_bumptex_active_and_engine_parity(self, ktex_dir):
+        """BUMPTEX on a mesh perturbs shading normals via per-triangle
+        UV tangent frames (ops/intersect.triangle_uv_gradients —
+        VERDICT r2 #3; reference bump-mapping extra README.md:104 on
+        its mesh extra README.md:113-117): the render must visibly
+        differ from the flat mesh, identically on all three engines."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_statics, _xla_fallback, pathtrace_iteration_pallas,
+        )
+        from pathtrace_tpu.render.plane_engine import (
+            pathtrace_iteration_planes,
+        )
+
+        scene = self._mesh_bump_scene(ktex_dir)
+        assert not _xla_fallback(scene)       # 32x32 fits in-kernel
         tg, tu, bg = _tex_statics(scene)
-        assert all(t[0] < 0 for t in bg)  # no bump charts packed
-        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        assert any(t[0] >= 0 for t in bg)     # mesh bump chart packed
         rj, _ = pt.pathtrace_iteration(scene, 1)
+        rp, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rpl, _ = pathtrace_iteration_planes(scene, 1)
+        assert np.array_equal(np.asarray(rp), np.asarray(rpl))
         d = np.abs(np.asarray(rp) - np.asarray(rj)).max(-1)
         assert (d > 2e-3).mean() < 0.005
+        # visibly bumped: flat (k=0) render differs where the mesh is
+        flat = self._mesh_bump_scene(ktex_dir, strength="0")
+        rf, _ = pt.pathtrace_iteration(flat, 1)
+        assert np.abs(np.asarray(rj) - np.asarray(rf)).max() > 0.02
 
     def test_atan2_edge_cases(self):
         """Quadrant/axis edges of the polynomial atan2 (UV charts hit
