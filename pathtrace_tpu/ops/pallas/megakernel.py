@@ -187,16 +187,26 @@ def _asin(t):
 
 
 def _tex_fetch(tab, flat_idx):
-    """One texel tap: ``tab`` is a lane-replicated flat texture table
-    (HWtot, LANES) f32 (every lane holds the same flat texture), so a
-    sublane dynamic-gather — the ONLY gather Mosaic lowers: equal-shape
+    """One texel tap: ``tab`` is a lane-replicated packed texture table
+    (ceil(HWtot/4), LANES) i32, four u8 texels per word (see
+    :func:`_pack_textures` ``packed=True``).  The sublane
+    dynamic-gather — the ONLY gather Mosaic lowers: equal-shape
     ``take_along_axis(x, idx, axis=0)`` -> tpu.dynamic_gather — fetches
-    an arbitrary texel per lane.  ``flat_idx`` (SUB, LANES) i32."""
+    the word holding each lane's texel; byte extraction + /255
+    dequantizes.  Texture texels are u8-sourced (scene/textures.py
+    loads PNGs as u8/255), so ``f32(u8) / 255`` here is bit-identical
+    to the f32 value the XLA engines fetch directly — packing is a 4x
+    VMEM win (the KTEX caps), not a precision trade.  ``flat_idx``
+    (SUB, LANES) i32 texel index."""
+    word_idx = jax.lax.shift_right_logical(flat_idx, 2)
     pad = jnp.zeros((tab.shape[0] - SUB, LANES), jnp.int32)
-    idx_full = jnp.concatenate([flat_idx, pad], axis=0)
-    return jax.lax.stop_gradient(
+    idx_full = jnp.concatenate([word_idx, pad], axis=0)
+    word = jax.lax.stop_gradient(
         jnp.take_along_axis(tab, idx_full, axis=0)[:SUB]
     )
+    shift = jax.lax.shift_left(flat_idx & 3, 3)   # 8 * (t % 4)
+    byte = jax.lax.shift_right_logical(word, shift) & 0xFF
+    return byte.astype(jnp.float32) / jnp.float32(255.0)
 
 
 def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
@@ -2041,15 +2051,18 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 # ----------------------------------------------------------------------------
 
 # in-kernel image-texture ceilings: each used texture's flat table is
-# lane-replicated to (H*W, 128) f32 in VMEM (the equal-shape sublane
-# dynamic-gather is the only gather Mosaic lowers, see _tex_fetch), so
-# a 64x64 texture costs 2 MB/channel.  KTEX_MAX_TEXELS bounds the
-# TOTAL across all geom-referenced textures (tables + the broadcast
-# gather index live in the same 110 MB kernel VMEM budget as the
-# triangle/BVH tables); beyond either cap the scene falls back to the
-# XLA engine (scene/textures.py caps loads at 128x128).
-KTEX_MAX_SIDE = 64
-KTEX_MAX_TEXELS = 16384  # e.g. four 64x64 maps
+# lane-replicated in VMEM (the equal-shape sublane dynamic-gather is
+# the only gather Mosaic lowers, see _tex_fetch) as u8-PACKED i32
+# words — four texels per word, so a texel costs 32 lane-replicated
+# BYTES instead of 512 (the round-2 f32 layout; exact, because loader
+# texels are u8/255 — _tex_in_kernel checks).  KTEX_MAX_TEXELS bounds
+# the TOTAL across all geom-referenced textures (tables + the
+# broadcast gather index live in the same 110 MB kernel VMEM budget as
+# the triangle/BVH tables): 65,536 texels = 2 MB/channel packed, the
+# same VMEM the old caps spent on 16,384.  Beyond either cap the scene
+# falls back to the fused-plane XLA engine.
+KTEX_MAX_SIDE = 256
+KTEX_MAX_TEXELS = 65536  # e.g. one 256x256 map, or sixteen 64x64
 
 
 def _tex_used(scene):
@@ -2076,7 +2089,11 @@ def _tex_used(scene):
 def _tex_in_kernel(scene, used=None):
     """Static: can the megakernel run this scene's image textures
     (albedo TEXTURE and BUMPTEX height maps)?  Up to KTEX_MAX_SIDE per
-    map / KTEX_MAX_TEXELS total across the referenced set."""
+    map / KTEX_MAX_TEXELS total across the referenced set, and every
+    texel on the u8 grid (the in-kernel tables are u8-packed i32
+    words, exact only for u8-sourced textures — scene/textures.py
+    loads all images that way; a hand-built f32 texture off the grid
+    runs on the planes engine instead of being silently quantized)."""
     used = _tex_used(scene) if used is None else used
     if not used:
         return False
@@ -2090,7 +2107,14 @@ def _tex_in_kernel(scene, used=None):
         int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
         for t in used
     )
-    return total <= KTEX_MAX_TEXELS
+    if total > KTEX_MAX_TEXELS:
+        return False
+    for t in used:
+        x = np.asarray(scene.textures[t], np.float32)
+        if not np.array_equal(np.round(x * 255.0) / np.float32(255.0),
+                              x):
+            return False
+    return True
 
 
 def _tex_offsets(scene):
@@ -2136,14 +2160,21 @@ def _btex_spec(scene):
     return tuple(out)
 
 
-def _pack_textures(scene, used):
-    """(texr, texg, texb): per-channel flat texture tables, each
-    (HWtot, LANES) f32 lane-replicated (every lane holds the same flat
-    texture) so :func:`_tex_fetch`'s sublane gather addresses any texel
-    from any lane.  ``used`` is the STATIC table order from
-    :func:`_tex_used` (this runs under jit on traced scenes).  Tables
-    are padded to at least SUB rows so the gather's [:SUB] slice is
-    always valid (a lone 4x4 texture is only 16 texels)."""
+def _pack_textures(scene, used, packed=False):
+    """(texr, texg, texb): per-channel flat texture tables,
+    lane-replicated (every lane holds the same flat texture) so
+    :func:`_tex_fetch`'s sublane gather addresses any texel from any
+    lane.  ``used`` is the STATIC table order from :func:`_tex_used`
+    (this runs under jit on traced scenes).  Tables are padded to at
+    least SUB rows so the gather's [:SUB] slice is always valid (a
+    lone 4x4 texture is only 16 texels).
+
+    ``packed=False`` (the XLA engines): (HWtot, LANES) f32 — plain
+    differentiable values, texel gradients flow through the gather.
+    ``packed=True`` (the megakernel): (ceil(HWtot/4), LANES) i32 with
+    four u8 texels per word — 4x less VMEM per texel, which is what
+    buys the KTEX_MAX_SIDE/KTEX_MAX_TEXELS caps; exact because loader
+    texels are u8/255 (``_tex_in_kernel`` verifies the u8 grid)."""
     outs = []
     for c in range(3):
         flat = jnp.concatenate([
@@ -2151,9 +2182,17 @@ def _pack_textures(scene, used):
             .reshape(-1)
             for t in used
         ])
+        if packed:
+            q = jnp.round(flat * 255.0).astype(jnp.int32)
+            n4 = (q.shape[0] + 3) // 4
+            q = jnp.concatenate(
+                [q, jnp.zeros((n4 * 4 - q.shape[0],), jnp.int32)]
+            ).reshape(n4, 4)
+            flat = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+                    | (q[:, 3] << 24))
         if flat.shape[0] < SUB:
             flat = jnp.concatenate(
-                [flat, jnp.zeros((SUB - flat.shape[0],), jnp.float32)]
+                [flat, jnp.zeros((SUB - flat.shape[0],), flat.dtype)]
             )
         outs.append(jnp.broadcast_to(flat[:, None],
                                      (flat.shape[0], LANES)))
@@ -2548,7 +2587,7 @@ def _iteration_jit(scene, it, interpret, early_exit, features, nee=False,
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
-    texs = (_pack_textures(scene, tex_used)
+    texs = (_pack_textures(scene, tex_used, packed=True)
             if (tex_geom or btex_geom) else None)
     return _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it, jnp.int32),
@@ -2640,7 +2679,7 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
     )
-    texs = (_pack_textures(scene, tex_used)
+    texs = (_pack_textures(scene, tex_used, packed=True)
             if (tex_geom or btex_geom) else None)
     rad, counts = _run(
         cam, mats, gmat, tri, lights, jnp.asarray(it0, jnp.int32),

@@ -33,11 +33,17 @@ from __future__ import annotations
 
 import numpy as np
 
-MAX_TEX_SIDE = 128  # megakernel VMEM/lane-gather ceiling (see module doc)
+# Safety clamp only: huge maps still load (LANCZOS-downsampled) rather
+# than OOM.  The engines pick their own ceilings — the megakernel's
+# u8-packed VMEM caps are megakernel.KTEX_MAX_SIDE/KTEX_MAX_TEXELS
+# (over-cap scenes run on the fused-plane XLA engine at full size).
+MAX_TEX_SIDE = 2048
 
 
 def load_texture(path: str) -> np.ndarray:
-    """Decode an image file -> (H, W, 3) float32 in [0,1], H,W <= 128."""
+    """Decode an image file -> (H, W, 3) float32 in [0,1] on the u8
+    grid (values k/255 — what makes the megakernel's packed-u8 tables
+    exact)."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")

@@ -163,7 +163,7 @@ SCALE       2 2 2
         the integrator's texture sampling."""
         from pathtrace_tpu.ops.pallas.megakernel import _xla_fallback
 
-        sc = self._scene(tmp_path, 128)
+        sc = self._scene(tmp_path, 320)
         assert _xla_fallback(sc)
         r_fb, _ = pathtrace_iteration_pallas(sc, 1)  # -> plane engine
         r_pl, _ = pathtrace_iteration_planes(sc, 1)

