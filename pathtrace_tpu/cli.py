@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(same trace, any backend, no VMEM texture "
                         "caps); xla = jnp wavefront (readable "
                         "reference; sort-compaction)")
+    p.add_argument("--split-depth", type=int, default=0,
+                   help="pallas engine: split the trace at this bounce "
+                        "and re-densify live rays between the two "
+                        "kernel spans (stream compaction, TPU-style; "
+                        "bit-identical output).  0 = monolithic "
+                        "kernel")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation / direct lighting")
     p.add_argument("--rr", action="store_true",
@@ -144,9 +150,15 @@ def main(argv=None) -> int:
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if on_tpu or args.interpret:
                 from pathtrace_tpu.ops.pallas.megakernel import (
-                    pathtrace_batch_pallas,
+                    pathtrace_batch_pallas, pathtrace_batch_split,
                 )
 
+                if args.split_depth > 0:
+                    return lambda it0, step: pathtrace_batch_split(
+                        scene, it0, step, split=args.split_depth,
+                        nee=args.nee, rr=args.rr,
+                        interpret=not on_tpu,
+                    )
                 return lambda it0, step: pathtrace_batch_pallas(
                     scene, it0, step, nee=args.nee, rr=args.rr,
                     interpret=not on_tpu,

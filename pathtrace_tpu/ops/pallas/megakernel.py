@@ -1872,8 +1872,25 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         )
         return state, counts_acc
 
+    def trace_span(it_u, state, d0, d1, counts_acc):
+        """Bounces [d0, d1) from a carried state — the split-engine
+        phase body (same depth_body ops as trace_one, so a split trace
+        is bit-identical to the monolithic one)."""
+        def depth_body(d, carry):
+            st, counts_acc = carry
+            n_live = jnp.sum(st["live"]).astype(jnp.int32)
+            counts_acc = counts_acc + jnp.where(
+                (crow == 0) & (ccol == d), n_live, 0
+            )
+            return bounce(st, d, it_u), counts_acc
+
+        return jax.lax.fori_loop(
+            d0, d1, depth_body, (state, counts_acc)
+        )
+
     trace_one.init_state = init_state
     trace_one.bounce = bounce
+    trace_one.trace_span = trace_span
     return trace_one
 
 
@@ -3137,4 +3154,321 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     return _render_vjp_jit(
         scene, params, ct, it0, n_spp, interpret,
         _scene_features(scene), nee, nee_lights,
+    )
+
+
+# ----------------------------------------------------------------------------
+# split engine: re-densified wavefront of megakernel spans
+# ----------------------------------------------------------------------------
+#
+# The monolithic megakernel runs every bounce for every tile; dead
+# lanes are predicated but still burn VPU issue slots (the roofline's
+# named lever, BENCHMARKS.md).  On cornell the live fraction falls
+# 100% -> 44% by bounce 3, so splitting the trace into two kernel
+# SPANS with an XLA-level re-densification between them trims the
+# second span's grid to ceil(live/TILE) tiles.  This is the
+# reference's stream compaction (README.md:83-86, spec
+# src/pathtrace.cu:152-156) recast for the TPU's execution model:
+# fixed-shape kernel segments + a gather permutation between them,
+# with the tail tiles skipped via a scalar-predicated grid (dynamic
+# shapes never reach Mosaic).
+#
+# Bit-identity: each lane carries its full bounce state (RNG keys on
+# (iter, pixel, depth) and the pixel rides with the lane), every
+# pixel's radiance is one lane's ``rr`` added exactly once per sample
+# (dead lanes at the boundary, survivors at the end), and the span
+# body is trace_one's depth loop verbatim — so the split render is
+# bit-identical to pathtrace_batch_pallas (tests/test_split.py).
+
+def _state_keys(features, nee):
+    """Static carried-state plane list for the span kernels (must
+    mirror _make_tracer.init_state / shade's carry)."""
+    (has_glass, has_imperfect, has_dof, has_motion,
+     has_checker, has_bump, has_sss) = features
+    keys = ["ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
+            "rr", "rg", "rb", "live"]
+    if nee:
+        keys.append("emit_ok")
+    if has_motion:
+        keys.append("time")
+    if has_sss:
+        keys += ["med_s", "med_r", "med_g", "med_b"]
+    return tuple(keys)
+
+
+def _span_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest,
+                 geom_types, width, height, d0, d1, n_pixels,
+                 n_tris=0, features=(True,) * 7, nee_lights=(),
+                 bvh_meta=(), rr_mode=False, tex_geom=(),
+                 btex_geom=(), gen=True, state_keys=()):
+    """Bounces [d0, d1) of the trace for one ray tile.
+
+    ``gen=True``: raygen first (phase A); ``gen=False``: resume from
+    carried state planes, with tiles >= the scalar live-tile count
+    (it_ref[0,2], set by the XLA re-densify glue) predicated off —
+    their outputs are zeroed (rr=0 scatters nothing; live=0 counts
+    nothing)."""
+    nee = bool(nee_lights)
+    tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
+    btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
+    rest = list(rest)
+    tri_ref = rest.pop(0) if n_tris else None
+    nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
+    lights_ref = rest.pop(0) if nee else None
+    if tex_mode or btex_mode:
+        texr_v = rest.pop(0)[:, :]
+        texg_v = rest.pop(0)[:, :]
+        texb_v = rest.pop(0)[:, :]
+    else:
+        texr_v = texg_v = texb_v = None
+    nk = len(state_keys)
+    in_state = None
+    pix_in_ref = None
+    if not gen:
+        in_state = rest[:nk]
+        rest = rest[nk:]
+        pix_in_ref = rest.pop(0)
+    out_state = rest[:nk]
+    rest = rest[nk:]
+    pix_out_ref = rest.pop(0)
+    counts_ref = rest.pop(0)
+
+    tile = pl.program_id(0)
+    if gen:
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        pixel = (tile * SUB + row) * LANES + lane + it_ref[0, 1]
+    else:
+        pixel = pix_in_ref[:, :]
+    valid = pixel < n_pixels
+    pix_u = _u32(pixel)
+    fx = (pixel % width).astype(jnp.float32)
+    fy = (pixel // width).astype(jnp.float32)
+    trace_one = _make_tracer(
+        cam_ref, mats_ref, gmat_ref, tri_ref, lights_ref,
+        geom_types=geom_types, width=width, height=height, depth=d1,
+        n_tris=n_tris, features=features, nee_lights=nee_lights,
+        pix_u=pix_u, fx=fx, fy=fy, valid=valid, nodes=nodes_ref,
+        bvh_meta=bvh_meta, rr_mode=rr_mode, tex_geom=tex_geom,
+        btex_geom=btex_geom, texr=texr_v, texg=texg_v, texb=texb_v,
+    )
+    it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
+
+    def run():
+        if gen:
+            st = trace_one.init_state(it_u)
+        else:
+            st = {k: r[:, :] for k, r in zip(state_keys, in_state)}
+        st, counts = trace_one.trace_span(
+            it_u, st, d0, d1, jnp.zeros((8, LANES), jnp.int32)
+        )
+        for k, r in zip(state_keys, out_state):
+            r[:, :] = st[k]
+        pix_out_ref[:, :] = pixel
+        counts_ref[:, :] = counts
+
+    if gen:
+        run()
+    else:
+        live_tiles = it_ref[0, 2]
+
+        @pl.when(tile < live_tiles)
+        def _():
+            run()
+
+        @pl.when(tile >= live_tiles)
+        def _():
+            z = jnp.zeros((SUB, LANES), jnp.float32)
+            for r in out_state:
+                r[:, :] = z
+            pix_out_ref[:, :] = jnp.zeros((SUB, LANES), jnp.int32)
+            counts_ref[:, :] = jnp.zeros((8, LANES), jnp.int32)
+
+
+def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
+              live_tiles, state_in, pix_in, *, resolution, d0, d1,
+              geom_types, interpret, features, nee_lights, bvh_meta,
+              rr_mode, tex_geom, btex_geom, state_keys, pix0=0):
+    """pallas_call wrapper for one span.  ``state_in``/``pix_in`` None
+    -> phase A (raygen).  Returns (state dict of (pad_rows, LANES)
+    planes, pixel (pad_rows, LANES) i32, counts (8,) i32)."""
+    width, height = resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    pad_rows = n_tiles * SUB
+    n_tris = 0 if tri is None else tri.shape[0]
+    bvh_meta = bvh_meta if n_tris else ()
+    nee = bool(nee_lights)
+    tables = texs is not None
+    gen = state_in is None
+    nk = len(state_keys)
+
+    kernel = functools.partial(
+        _span_kernel, geom_types=geom_types, width=width,
+        height=height, d0=d0, d1=d1, n_pixels=n_pixels, n_tris=n_tris,
+        features=features, nee_lights=nee_lights, bvh_meta=bvh_meta,
+        rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
+        gen=gen, state_keys=state_keys,
+    )
+    tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    scal = jnp.stack([
+        jnp.asarray(it, jnp.int32).reshape(()),
+        jnp.asarray(pix0, jnp.int32).reshape(()),
+        jnp.asarray(live_tiles, jnp.int32).reshape(()),
+    ]).reshape(1, 3)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # (it, pix0, live_tiles)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
+    ]
+    args = [scal, cam, mats, gmat]
+    if n_tris:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(tri)
+        if bvh_meta:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(nodes)
+    if nee:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(lights)
+    if tables:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        args += list(texs)
+    if not gen:
+        in_specs += [tile_block() for _ in range(nk + 1)]
+        args += [state_in[k] for k in state_keys] + [pix_in]
+
+    out_specs = [tile_block() for _ in range(nk + 1)] + [
+        pl.BlockSpec((8, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shape = (
+        [jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32)
+         for _ in range(nk)]
+        + [jax.ShapeDtypeStruct((pad_rows, LANES), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32)]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,), in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+    )(*args)
+    st = {k: outs[i] for i, k in enumerate(state_keys)}
+    pix = outs[nk]
+    counts = outs[nk + 1].reshape(n_tiles, 8, 128)[:, 0, :].sum(0)
+    return st, pix, counts
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iters", "split", "interpret", "features", "nee", "rr",
+    "tex_geom", "tex_used", "btex_geom"))
+def _batch_split_jit(scene, it0, n_iters, split, interpret, features,
+                     nee=False, rr=False, tex_geom=(), tex_used=(),
+                     btex_geom=()):
+    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom,
+                                              btex_geom)
+    lights, nee_lights = (
+        _pack_lights(scene) if nee else (None, ())
+    )
+    texs = (_pack_textures(scene, tex_used, packed=True)
+            if (tex_geom or btex_geom) else None)
+    width, height = scene.resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    depth = int(scene.trace_depth)
+    state_keys = _state_keys(features, nee)
+    geom_types = tuple(scene.geoms.type)
+    common = dict(
+        resolution=tuple(scene.resolution), geom_types=geom_types,
+        interpret=interpret, features=features,
+        nee_lights=nee_lights, bvh_meta=scene.mesh.bvh_meta,
+        rr_mode=rr, tex_geom=tex_geom, btex_geom=btex_geom,
+        state_keys=state_keys,
+    )
+
+    def one_sample(sidx, carry):
+        acc, counts_tot = carry
+        it = jnp.asarray(it0, jnp.int32) + sidx
+        stA, pixA, cntA = _run_span(
+            cam, mats, gmat, tri, nodes, lights, texs, it, n_tiles,
+            None, None, d0=0, d1=split, **common,
+        )
+        live = stA["live"].reshape(-1) > 0.0
+        pix_flat = pixA.reshape(-1)
+        # dead lanes: rr is final -> accumulate now (one add per
+        # pixel per sample; padding lanes have pixel >= n_pixels and
+        # drop out of the scatter)
+        radA = jnp.stack(
+            [jnp.where(~live, stA[k].reshape(-1), 0.0)
+             for k in ("rr", "rg", "rb")], axis=-1,
+        )
+        acc = acc.at[pix_flat].add(radA, mode="drop")
+        # re-densify: stable live-first permutation; consumed dead
+        # radiance zeroed so the final scatter never double-counts
+        order = jnp.argsort(
+            jnp.where(live, 0, 1).astype(jnp.int32), stable=True
+        )
+        stB_in = {}
+        for k in state_keys:
+            v = stA[k].reshape(-1)
+            if k in ("rr", "rg", "rb"):
+                v = jnp.where(live, v, 0.0)
+            stB_in[k] = v[order].reshape(-1, LANES)
+        pixB_in = pix_flat[order].reshape(-1, LANES)
+        n_live = jnp.sum(live.astype(jnp.int32))
+        live_tiles = (n_live + TILE - 1) // TILE
+        stB, pixB, cntB = _run_span(
+            cam, mats, gmat, tri, nodes, lights, texs, it, live_tiles,
+            stB_in, pixB_in, d0=split, d1=depth, **common,
+        )
+        radB = jnp.stack(
+            [stB[k].reshape(-1) for k in ("rr", "rg", "rb")], axis=-1,
+        )
+        acc = acc.at[pixB.reshape(-1)].add(radB, mode="drop")
+        return acc, counts_tot + cntA[:depth] + cntB[:depth]
+
+    acc0 = jnp.zeros((n_pixels, 3), jnp.float32)
+    cnt0 = jnp.zeros((depth,), jnp.int32)
+    acc, counts = jax.lax.fori_loop(
+        0, n_iters, one_sample, (acc0, cnt0)
+    )
+    return acc, counts
+
+
+def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
+                          interpret=False, nee=False, rr=False):
+    """``n_iters`` samples/pixel on the SPLIT megakernel engine:
+    bounces [0, split) for every pixel tile, an XLA re-densification
+    (the reference's stream compaction, README.md:83-86, recast as a
+    stable gather permutation between fixed-shape kernel spans), then
+    bounces [split, depth) on ceil(live/TILE) tiles only — dead-tail
+    tiles are predicated off by a scalar, so the second span's work
+    tracks the live-ray count.  Bit-identical to
+    :func:`pathtrace_batch_pallas` (same per-lane ops, same per-pixel
+    accumulation order).  Returns (accumulated radiance (P,3),
+    counts (depth,))."""
+    if _xla_fallback(scene):
+        from ...render.plane_engine import pathtrace_batch_planes
+
+        return pathtrace_batch_planes(scene, it0, n_iters, nee=nee,
+                                      rr=rr)
+    depth = int(scene.trace_depth)
+    split = max(1, min(int(split), depth - 1)) if depth > 1 else 0
+    if split == 0:
+        return pathtrace_batch_pallas(scene, it0, n_iters,
+                                      interpret=interpret, nee=nee,
+                                      rr=rr)
+    tg, tu, bg = _tex_statics(scene)
+    return _batch_split_jit(
+        scene, it0, n_iters, split, interpret, _scene_features(scene),
+        nee, rr, tg, tu, bg,
     )
