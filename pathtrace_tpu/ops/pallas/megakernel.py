@@ -3158,27 +3158,42 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
 
 
 # ----------------------------------------------------------------------------
-# split engine: re-densified wavefront of megakernel spans
+# split engine: tile-redensified wavefront of megakernel spans
 # ----------------------------------------------------------------------------
 #
 # The monolithic megakernel runs every bounce for every tile; dead
 # lanes are predicated but still burn VPU issue slots (the roofline's
-# named lever, BENCHMARKS.md).  On cornell the live fraction falls
-# 100% -> 44% by bounce 3, so splitting the trace into two kernel
-# SPANS with an XLA-level re-densification between them trims the
-# second span's grid to ceil(live/TILE) tiles.  This is the
-# reference's stream compaction (README.md:83-86, spec
-# src/pathtrace.cu:152-156) recast for the TPU's execution model:
-# fixed-shape kernel segments + a gather permutation between them,
-# with the tail tiles skipped via a scalar-predicated grid (dynamic
-# shapes never reach Mosaic).
+# named lever, BENCHMARKS.md).  This engine is the reference's stream
+# compaction (README.md:83-86, spec src/pathtrace.cu:152-156) recast
+# for the TPU's execution model — and the recast is the interesting
+# part:
 #
-# Bit-identity: each lane carries its full bounce state (RNG keys on
-# (iter, pixel, depth) and the pixel rides with the lane), every
-# pixel's radiance is one lane's ``rr`` added exactly once per sample
-# (dead lanes at the boundary, survivors at the end), and the span
-# body is trace_one's depth loop verbatim — so the split render is
-# bit-identical to pathtrace_batch_pallas (tests/test_split.py).
+# * Lane-granular re-densification is a measured LOSS on TPU: any
+#   per-element global shuffle at wavefront size costs ~2.5-8 ms per
+#   state plane (element gather 7.9 ms, row gather 2.4 ms,
+#   scatter 5.8 ms, sort 3.1 ms — measured, 655k f32) because XLA:TPU
+#   lowers them serially; with ~17 carried planes one boundary costs
+#   more than the whole 8-bounce trace (~5 ms).  The reference's
+#   per-ray compaction is architecturally moot here, completing the
+#   round-2 analysis that already showed masking beats densification
+#   INSIDE the kernel.
+#
+# * Tile-granular re-densification is nearly FREE: phase A writes its
+#   carried state pixel-ALIGNED; a tiny (n_tiles,) partition picks the
+#   tiles with any live lane; phase B's pallas grid reads exactly
+#   those tiles through scalar-prefetched block index maps (the DMA
+#   pipeline does the "compaction" as part of its normal block
+#   fetches), with the dead-tail grid steps predicated off by a
+#   scalar.  No state plane ever moves through an XLA shuffle.  This
+#   wins where death is spatially coherent — primary-miss scenes
+#   (sphere.txt: 95% of tiles dead after bounce 1), open scenes —
+#   and costs one state round-trip (~45 MB HBM) where it is not.
+#
+# Bit-identity with the monolithic kernel: every pixel's radiance is
+# one lane's ``rr`` added exactly once per sample (dead lanes at the
+# boundary, survivors at the end — the other term is +0.0 which is
+# bit-neutral for the non-negative radiance), and the span body is
+# trace_one's depth loop verbatim (tests/test_split.py).
 
 def _state_keys(features, nee):
     """Static carried-state plane list for the span kernels (must
@@ -3196,22 +3211,27 @@ def _state_keys(features, nee):
     return tuple(keys)
 
 
-def _span_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest,
-                 geom_types, width, height, d0, d1, n_pixels,
+def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
                  n_tris=0, features=(True,) * 7, nee_lights=(),
                  bvh_meta=(), rr_mode=False, tex_geom=(),
                  btex_geom=(), gen=True, state_keys=()):
-    """Bounces [d0, d1) of the trace for one ray tile.
+    """Bounces [d0, d1) of the trace for one ray tile, state planes
+    pixel-ALIGNED in HBM.
 
-    ``gen=True``: raygen first (phase A); ``gen=False``: resume from
-    carried state planes, with tiles >= the scalar live-tile count
-    (it_ref[0,2], set by the XLA re-densify glue) predicated off —
-    their outputs are zeroed (rr=0 scatters nothing; live=0 counts
-    nothing)."""
+    ``gen=True`` (phase A): raygen, regular grid, writes carried state.
+    ``gen=False`` (resume): the grid walks the live-tile table
+    ``tbl_ref`` (scalar prefetch) — grid step i processes physical
+    tile tbl[i]; steps >= the live count (it_ref[0,2]) are predicated
+    off and park their writes on the scratch tile the runner appends.
+    The lane's pixel id is recomputed from the physical tile, so no
+    pixel plane is carried."""
+    refs = list(refs)
+    tbl_ref = None if gen else refs.pop(0)
+    it_ref, cam_ref, mats_ref, gmat_ref = refs[:4]
+    rest = refs[4:]
     nee = bool(nee_lights)
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
-    rest = list(rest)
     tri_ref = rest.pop(0) if n_tris else None
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
@@ -3223,23 +3243,18 @@ def _span_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest,
         texr_v = texg_v = texb_v = None
     nk = len(state_keys)
     in_state = None
-    pix_in_ref = None
     if not gen:
         in_state = rest[:nk]
         rest = rest[nk:]
-        pix_in_ref = rest.pop(0)
     out_state = rest[:nk]
     rest = rest[nk:]
-    pix_out_ref = rest.pop(0)
     counts_ref = rest.pop(0)
 
-    tile = pl.program_id(0)
-    if gen:
-        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-        pixel = (tile * SUB + row) * LANES + lane + it_ref[0, 1]
-    else:
-        pixel = pix_in_ref[:, :]
+    i = pl.program_id(0)
+    phys = i if gen else tbl_ref[i]
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    pixel = (phys * SUB + row) * LANES + lane + it_ref[0, 1]
     valid = pixel < n_pixels
     pix_u = _u32(pixel)
     fx = (pixel % width).astype(jnp.float32)
@@ -3264,44 +3279,35 @@ def _span_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest,
         )
         for k, r in zip(state_keys, out_state):
             r[:, :] = st[k]
-        pix_out_ref[:, :] = pixel
         counts_ref[:, :] = counts
 
     if gen:
         run()
     else:
-        live_tiles = it_ref[0, 2]
-
-        @pl.when(tile < live_tiles)
+        @pl.when(i < it_ref[0, 2])
         def _():
             run()
 
-        @pl.when(tile >= live_tiles)
-        def _():
-            z = jnp.zeros((SUB, LANES), jnp.float32)
-            for r in out_state:
-                r[:, :] = z
-            pix_out_ref[:, :] = jnp.zeros((SUB, LANES), jnp.int32)
-            counts_ref[:, :] = jnp.zeros((8, LANES), jnp.int32)
-
 
 def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
-              live_tiles, state_in, pix_in, *, resolution, d0, d1,
+              live_tiles, tbl, state_in, *, resolution, d0, d1,
               geom_types, interpret, features, nee_lights, bvh_meta,
               rr_mode, tex_geom, btex_geom, state_keys, pix0=0):
-    """pallas_call wrapper for one span.  ``state_in``/``pix_in`` None
-    -> phase A (raygen).  Returns (state dict of (pad_rows, LANES)
-    planes, pixel (pad_rows, LANES) i32, counts (8,) i32)."""
+    """pallas_call wrapper for one span.  ``state_in``/``tbl`` None ->
+    phase A (raygen, aligned output).  Resume: ``tbl`` (n_tiles+pad,)
+    i32 live-first physical tile table (padding entries = n_tiles, the
+    scratch tile).  Returns (state dict of ((n_tiles[+1])*SUB, LANES)
+    planes, counts (8,))."""
     width, height = resolution
     n_pixels = width * height
     n_tiles = pl.cdiv(n_pixels, TILE)
-    pad_rows = n_tiles * SUB
     n_tris = 0 if tri is None else tri.shape[0]
     bvh_meta = bvh_meta if n_tris else ()
     nee = bool(nee_lights)
     tables = texs is not None
     gen = state_in is None
     nk = len(state_keys)
+    out_tiles = n_tiles if gen else n_tiles + 1  # +1 = scratch tile
 
     kernel = functools.partial(
         _span_kernel, geom_types=geom_types, width=width,
@@ -3310,62 +3316,90 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
         rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
         gen=gen, state_keys=state_keys,
     )
-    tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM)
+    if gen:
+        tile_in = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        tile_out = tile_in
+        counts_out = pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        # the live-tile table drives every block index: inputs read
+        # physical tile tbl[i] (clamped: padding entries point at the
+        # scratch slot which inputs do not have), outputs write it
+        # (padding steps park on the scratch tile)
+        tile_in = lambda: pl.BlockSpec(
+            (SUB, LANES),
+            lambda i, tbl: (jnp.minimum(tbl[i], n_tiles - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+        tile_out = lambda: pl.BlockSpec(
+            (SUB, LANES), lambda i, tbl: (tbl[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+        counts_out = pl.BlockSpec((8, 128), lambda i, tbl: (tbl[i], 0),
+                                  memory_space=pltpu.VMEM)
     scal = jnp.stack([
         jnp.asarray(it, jnp.int32).reshape(()),
         jnp.asarray(pix0, jnp.int32).reshape(()),
         jnp.asarray(live_tiles, jnp.int32).reshape(()),
     ]).reshape(1, 3)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # (it, pix0, live_tiles)
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # cam
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
-    ]
+    if gen:
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [smem(), vmem(), vmem(), vmem()]
     args = [scal, cam, mats, gmat]
     if n_tris:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(vmem())
         args.append(tri)
         if bvh_meta:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            in_specs.append(vmem())
             args.append(nodes)
     if nee:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(vmem())
         args.append(lights)
     if tables:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        in_specs += [vmem()] * 3
         args += list(texs)
     if not gen:
-        in_specs += [tile_block() for _ in range(nk + 1)]
-        args += [state_in[k] for k in state_keys] + [pix_in]
+        in_specs += [tile_in() for _ in range(nk)]
+        args += [state_in[k] for k in state_keys]
 
-    out_specs = [tile_block() for _ in range(nk + 1)] + [
-        pl.BlockSpec((8, 128), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM)
-    ]
+    out_specs = [tile_out() for _ in range(nk)] + [counts_out]
     out_shape = (
-        [jax.ShapeDtypeStruct((pad_rows, LANES), jnp.float32)
+        [jax.ShapeDtypeStruct((out_tiles * SUB, LANES), jnp.float32)
          for _ in range(nk)]
-        + [jax.ShapeDtypeStruct((pad_rows, LANES), jnp.int32)]
-        + [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((out_tiles * 8, 128), jnp.int32)]
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=pl.GridSpec(
+    if gen:
+        grid_spec = pl.GridSpec(
             grid=(n_tiles,), in_specs=in_specs,
             out_specs=tuple(out_specs),
-        ),
+        )
+        call_args = args
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(n_tiles,),
+            in_specs=in_specs, out_specs=tuple(out_specs),
+        )
+        call_args = [tbl] + args
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
-    )(*args)
+    )(*call_args)
     st = {k: outs[i] for i, k in enumerate(state_keys)}
-    pix = outs[nk]
-    counts = outs[nk + 1].reshape(n_tiles, 8, 128)[:, 0, :].sum(0)
-    return st, pix, counts
+    # per-tile counts: resume-mode rows for tiles the span never
+    # processed are stale buffer contents — the caller masks by tile
+    # liveness before reducing
+    counts_tiles = outs[nk].reshape(out_tiles, 8, 128)[:n_tiles, 0, :]
+    return st, counts_tiles
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -3386,54 +3420,55 @@ def _batch_split_jit(scene, it0, n_iters, split, interpret, features,
     n_tiles = pl.cdiv(n_pixels, TILE)
     depth = int(scene.trace_depth)
     state_keys = _state_keys(features, nee)
-    geom_types = tuple(scene.geoms.type)
     common = dict(
-        resolution=tuple(scene.resolution), geom_types=geom_types,
-        interpret=interpret, features=features,
-        nee_lights=nee_lights, bvh_meta=scene.mesh.bvh_meta,
-        rr_mode=rr, tex_geom=tex_geom, btex_geom=btex_geom,
-        state_keys=state_keys,
+        resolution=tuple(scene.resolution),
+        geom_types=tuple(scene.geoms.type), interpret=interpret,
+        features=features, nee_lights=nee_lights,
+        bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
+        btex_geom=btex_geom, state_keys=state_keys,
     )
 
     def one_sample(sidx, carry):
         acc, counts_tot = carry
         it = jnp.asarray(it0, jnp.int32) + sidx
-        stA, pixA, cntA = _run_span(
+        stA, cntA_t = _run_span(
             cam, mats, gmat, tri, nodes, lights, texs, it, n_tiles,
             None, None, d0=0, d1=split, **common,
         )
-        live = stA["live"].reshape(-1) > 0.0
-        pix_flat = pixA.reshape(-1)
-        # dead lanes: rr is final -> accumulate now (one add per
-        # pixel per sample; padding lanes have pixel >= n_pixels and
-        # drop out of the scatter)
+        cntA = cntA_t.sum(0)
+        live = stA["live"] > 0.0  # (n_tiles*SUB, LANES), pixel-aligned
+        # dead lanes: rr is final -> accumulate now, elementwise
         radA = jnp.stack(
-            [jnp.where(~live, stA[k].reshape(-1), 0.0)
+            [jnp.where(~live, stA[k], 0.0).reshape(-1)
              for k in ("rr", "rg", "rb")], axis=-1,
         )
-        acc = acc.at[pix_flat].add(radA, mode="drop")
-        # re-densify: stable live-first permutation; consumed dead
-        # radiance zeroed so the final scatter never double-counts
-        order = jnp.argsort(
-            jnp.where(live, 0, 1).astype(jnp.int32), stable=True
+        acc = acc + radA[:n_pixels]
+        # consumed dead radiance zeroed; everything stays ALIGNED
+        for k in ("rr", "rg", "rb"):
+            stA[k] = jnp.where(live, stA[k], 0.0)
+        # tile-granular re-densify: live-first physical tile table
+        # (tiny — n_tiles elements), padding entries park on the
+        # scratch tile the resumed span appends
+        tlive = jnp.any(
+            live.reshape(n_tiles, SUB, LANES), axis=(1, 2)
         )
-        stB_in = {}
-        for k in state_keys:
-            v = stA[k].reshape(-1)
-            if k in ("rr", "rg", "rb"):
-                v = jnp.where(live, v, 0.0)
-            stB_in[k] = v[order].reshape(-1, LANES)
-        pixB_in = pix_flat[order].reshape(-1, LANES)
-        n_live = jnp.sum(live.astype(jnp.int32))
-        live_tiles = (n_live + TILE - 1) // TILE
-        stB, pixB, cntB = _run_span(
+        order = jnp.argsort(~tlive, stable=True).astype(jnp.int32)
+        live_tiles = jnp.sum(tlive.astype(jnp.int32))
+        idx = jnp.arange(n_tiles, dtype=jnp.int32)
+        tbl = jnp.where(idx < live_tiles, order, n_tiles)
+        stB, cntB_t = _run_span(
             cam, mats, gmat, tri, nodes, lights, texs, it, live_tiles,
-            stB_in, pixB_in, d0=split, d1=depth, **common,
+            tbl, stA, d0=split, d1=depth, **common,
         )
+        cntB = (cntB_t * tlive[:, None].astype(jnp.int32)).sum(0)
+        # outputs are pixel-aligned; unprocessed (all-dead) tiles are
+        # stale buffer contents -> mask by tile liveness
+        m = jnp.repeat(tlive, SUB * LANES)[:n_pixels]
         radB = jnp.stack(
-            [stB[k].reshape(-1) for k in ("rr", "rg", "rb")], axis=-1,
+            [stB[k].reshape(-1)[:n_pixels] for k in ("rr", "rg", "rb")],
+            axis=-1,
         )
-        acc = acc.at[pixB.reshape(-1)].add(radB, mode="drop")
+        acc = acc + jnp.where(m[:, None], radB, 0.0)
         return acc, counts_tot + cntA[:depth] + cntB[:depth]
 
     acc0 = jnp.zeros((n_pixels, 3), jnp.float32)
@@ -3447,15 +3482,15 @@ def _batch_split_jit(scene, it0, n_iters, split, interpret, features,
 def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
                           interpret=False, nee=False, rr=False):
     """``n_iters`` samples/pixel on the SPLIT megakernel engine:
-    bounces [0, split) for every pixel tile, an XLA re-densification
-    (the reference's stream compaction, README.md:83-86, recast as a
-    stable gather permutation between fixed-shape kernel spans), then
-    bounces [split, depth) on ceil(live/TILE) tiles only — dead-tail
-    tiles are predicated off by a scalar, so the second span's work
-    tracks the live-ray count.  Bit-identical to
-    :func:`pathtrace_batch_pallas` (same per-lane ops, same per-pixel
-    accumulation order).  Returns (accumulated radiance (P,3),
-    counts (depth,))."""
+    bounces [0, split) for every pixel tile, a tile-granular
+    re-densification (the reference's stream compaction recast as
+    scalar-prefetched block index maps — see the section comment for
+    why per-LANE compaction is a measured loss on TPU), then bounces
+    [split, depth) on the live tiles only.  Bit-identical to
+    :func:`pathtrace_batch_pallas`.  Wins where death is spatially
+    coherent (primary-miss / open scenes); costs one carried-state
+    HBM round-trip where it is not.  Returns (accumulated radiance
+    (P,3), counts (depth,))."""
     if _xla_fallback(scene):
         from ...render.plane_engine import pathtrace_batch_planes
 

@@ -100,12 +100,16 @@ def prefix_sum_pallas(x, interpret=False):
     return out.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def compact_indices(mask, interpret=False):
-    """Stable-partition permutation from a live mask: ``perm`` (N,)
-    int32 with live indices (in order) first, dead after, plus the
-    live count.  ``x[perm]`` is the densified array — identical to
-    ``argsort(~mask, stable)`` and to GPU scan-compact order."""
+def partition_maps(mask, interpret=False):
+    """Both directions of the stable partition, from one scan pass:
+    ``slot`` (N,) int32 — each source index's destination (live-first,
+    order-preserving; the GPU recipe's scatter addresses), ``perm``
+    (N,) int32 — each destination's source (``x[perm]`` densifies; the
+    TPU-friendly gather form), and the live count.  ``slot`` is the
+    inverse permutation of ``perm``; the split engine uses ``slot`` to
+    read a pixel's lane back out of the compacted order with a gather
+    instead of scattering radiance by pixel id (TPU scatters
+    serialize; gathers do not)."""
     m = mask.astype(jnp.float32)
     n = mask.shape[0]
     pos_live = prefix_sum_pallas(m, interpret=interpret)
@@ -116,8 +120,19 @@ def compact_indices(mask, interpret=False):
         n_live + pos_dead.astype(jnp.int32),
     )
     perm = jnp.zeros((n,), jnp.int32).at[slot].set(
-        jnp.arange(n, dtype=jnp.int32)
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True,
+        mode="promise_in_bounds",
     )
+    return slot, perm, n_live
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compact_indices(mask, interpret=False):
+    """Stable-partition permutation from a live mask: ``perm`` (N,)
+    int32 with live indices (in order) first, dead after, plus the
+    live count.  ``x[perm]`` is the densified array — identical to
+    ``argsort(~mask, stable)`` and to GPU scan-compact order."""
+    _, perm, n_live = partition_maps(mask, interpret=interpret)
     return perm, n_live
 
 
