@@ -382,8 +382,18 @@ def sharded_grad_step(scene: Scene, target, it0: int, n_iters: int,
         # each device's ``g`` is ndev x its own sample-shard's share.
         # psum/ndev turns that into the exact global gradient (verified
         # against the single-device gradient in tests/test_parallel.py).
-        # XLA schedules this all-reduce overlapped with the backward
-        # sweep.
+        #
+        # Scheduling fact (round-3 AOT check, v5e 2x4 optimized HLO —
+        # tools/aot_overlap.py): this all-reduce compiles SYNCHRONOUS
+        # (no all-reduce-start/done pair).  That is the right outcome,
+        # not a missed optimization: the gradient pytree is a few KB
+        # (materials/TRS/camera — a renderer, not a GB-parameter NN),
+        # every gradient completes together at the end of the single
+        # backward sweep, and a latency-bound collective with no
+        # trailing independent compute has nothing to hide behind.
+        # Round 2 claimed overlap here without evidence; the checked
+        # claim is: one latency-bound psum per step, cost O(us),
+        # negligible against the backward sweep.
         ndev_f = float(ndev)
         g = jax.tree.map(
             lambda x: jax.lax.psum(x, "dev") / ndev_f, g
