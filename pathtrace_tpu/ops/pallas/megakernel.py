@@ -187,23 +187,42 @@ def _asin(t):
 
 
 def _tex_fetch(tab, flat_idx):
-    """One texel tap: ``tab`` is a lane-replicated packed texture table
-    (ceil(HWtot/4), LANES) i32, four u8 texels per word (see
-    :func:`_pack_textures` ``packed=True``).  The sublane
-    dynamic-gather — the ONLY gather Mosaic lowers: equal-shape
-    ``take_along_axis(x, idx, axis=0)`` -> tpu.dynamic_gather — fetches
-    the word holding each lane's texel; byte extraction + /255
-    dequantizes.  Texture texels are u8-sourced (scene/textures.py
-    loads PNGs as u8/255), so ``f32(u8) / 255`` here is bit-identical
-    to the f32 value the XLA engines fetch directly — packing is a 4x
-    VMEM win (the KTEX caps), not a precision trade.  ``flat_idx``
-    (SUB, LANES) i32 texel index."""
+    """One texel tap from a chunked u8-packed table (the ONLY texture
+    fetch Mosaic can actually compile — see the hardware constraint
+    below).
+
+    ``tab`` (n_chunks*SUB, LANES) i32: the flat texel stream u8-packed
+    four-to-a-word (:func:`_pack_textures` ``packed=True``), words laid
+    out row-major across full (8,128) vregs — NOT lane-replicated.
+
+    Hardware constraint (found by AOT-compiling for v5e,
+    tools/compile_table.py / tests/test_mosaic_compile.py — Mosaic:
+    "Not implemented: Multiple source vregs along gather dimension"):
+    ``tpu.dynamic_gather`` only lowers when the source is a SINGLE
+    vreg along the gathered dimension, so the round-2 design
+    (lane-replicated (HWtot,128) tables, one big sublane gather) never
+    compiled for hardware at any useful size.  The working primitive —
+    the only probed variant Mosaic's layout pass accepts inside the
+    full kernel — unrolls over the table's WORD-ROWS: broadcast each
+    128-word row to all sublanes (static slice), lane-gather it by the
+    raw per-lane lane index (axis=1, always one vreg wide), and
+    compare-select by the wanted row.  Cost is linear in table size —
+    that linearity (not VMEM) now sets KTEX_MAX_TEXELS: 16,384 texels
+    = 32 word-rows ~= 100 VPU ops per tap.
+
+    Texels are u8-sourced (scene/textures.py loads PNGs as u8/255), so
+    ``f32(u8)/255`` reproduces the f32 value the XLA engines fetch,
+    bit-for-bit.  ``flat_idx`` (SUB, LANES) i32 texel index."""
     word_idx = jax.lax.shift_right_logical(flat_idx, 2)
-    pad = jnp.zeros((tab.shape[0] - SUB, LANES), jnp.int32)
-    idx_full = jnp.concatenate([word_idx, pad], axis=0)
-    word = jax.lax.stop_gradient(
-        jnp.take_along_axis(tab, idx_full, axis=0)[:SUB]
-    )
+    row_t = jax.lax.shift_right_logical(word_idx, 7)
+    lane_t = word_idx & 127
+    n_rows = tab.shape[0]
+    tab = jax.lax.stop_gradient(tab)
+    word = jnp.zeros((SUB, LANES), jnp.int32)
+    for r in range(n_rows):
+        row = jnp.broadcast_to(tab[r:r + 1, :], (SUB, LANES))
+        got = jnp.take_along_axis(row, lane_t, axis=1)
+        word = jnp.where(row_t == r, got, word)
     shift = jax.lax.shift_left(flat_idx & 3, 3)   # 8 * (t % 4)
     byte = jax.lax.shift_right_logical(word, shift) & 0xFF
     return byte.astype(jnp.float32) / jnp.float32(255.0)
@@ -329,7 +348,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         return ox, oy, oz, dx, dy, dz
 
     def trace_nearest(ox, oy, oz, dx, dy, dz, tpl, live=None,
-                      want_tex=False):
+                      want_tex=False, winners=None, collect=None):
         """Nearest hit over unrolled geoms (and VMEM triangles) for
         arbitrary ray planes — used for both path rays and NEE shadow
         rays.  Returns plane dict.  ``live`` (optional f32 bool plane)
@@ -1097,14 +1116,17 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 n_vcols = (24 if btex_mesh_here
                            else 18 if tex_here else 12)
                 sg = jax.lax.stop_gradient
-                tri_sg = sg(tri_ref)
                 live_sg = None if live is None else sg(live)
 
                 def leaf_w(sl, carry, *, rox=sg(rox), roy=sg(roy),
                            roz=sg(roz), rdx=sg(rdx), rdy=sg(rdy),
-                           rdz=sg(rdz), tri_sg=tri_sg):
+                           rdz=sg(rdz), tri_sg=tri_ref):
                     widx, t_loc, vals = carry
-                    tm = lambda k: tri_sg[sl, k]
+                    # sg per READ, not on the table: tri_ref may be a
+                    # Pallas REF (the vjp kernel's carry mode — ref
+                    # dynamic indexing lowers on Mosaic where a
+                    # value dynamic_slice does not)
+                    tm = lambda k: sg(tri_sg[sl, k])
                     v0x, v0y, v0z = tm(0), tm(1), tm(2)
                     e1x, e1y, e1z = tm(3), tm(4), tm(5)
                     e2x, e2y, e2z = tm(6), tm(7), tm(8)
@@ -1169,15 +1191,25 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
                     return nxt, widx, t_loc, vals
 
-                zero_p = jnp.zeros((SUB, LANES), jnp.float32)
-                vals0 = tuple(zero_p for _ in range(n_vcols)) \
-                    if carry_vals else ()
-                _, widx, _, wvals = jax.lax.while_loop(
-                    lambda c: c[0] < n_nodes_g, trav_w,
-                    (jnp.int32(0),
-                     jnp.full((SUB, LANES), -1, jnp.int32), sg(t0),
-                     vals0),
-                )
+                if winners is not None:
+                    # the reverse sweep hoists traversal OUT of
+                    # jax.vjp (ref reads discharge to dynamic_slice
+                    # there, which Mosaic cannot lower): consume the
+                    # winner planes the forward sweep collected for
+                    # this trace call, in call order
+                    widx, wvals = winners.pop(0)
+                else:
+                    zero_p = jnp.zeros((SUB, LANES), jnp.float32)
+                    vals0 = tuple(zero_p for _ in range(n_vcols)) \
+                        if carry_vals else ()
+                    _, widx, _, wvals = jax.lax.while_loop(
+                        lambda c: c[0] < n_nodes_g, trav_w,
+                        (jnp.int32(0),
+                         jnp.full((SUB, LANES), -1, jnp.int32),
+                         sg(t0), vals0),
+                    )
+                    if collect is not None:
+                        collect.append((widx, wvals))
                 # ---- differentiable recompute of the winner's hit:
                 # the winner's triangle row per lane (gathered, or the
                 # carried value planes) through the SAME fold ops
@@ -1375,13 +1407,14 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         best["hit"] = best["dist"] < jnp.float32(NO_HIT)
         return best
 
-    def intersect(st):
+    def intersect(st, winners=None, collect=None):
         return trace_nearest(st["ox"], st["oy"], st["oz"],
                              st["dx"], st["dy"], st["dz"],
                              st.get("time"), live=st["live"],
-                             want_tex=True)
+                             want_tex=True, winners=winners,
+                             collect=collect)
 
-    def shade(st, isect, d, it_u):
+    def shade(st, isect, d, it_u, winners=None, collect=None):
         """Terminate-or-scatter, matching ops/bsdf.sample_bsdf."""
         live = st["live"] > 0.0
         hit = isect["hit"]
@@ -1578,7 +1611,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             rr, rg, rb = _nee_add(
                 rr, rg, rb, st, isect,
                 cont & ~scatter_inside if has_sss else cont,
-                it_u, d + 1,
+                it_u, d + 1, winners=winners, collect=collect,
             )
 
         if has_sss:
@@ -1699,7 +1732,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             out["time"] = st["time"]  # shutter time rides with the ray
         return out
 
-    def _nee_add(rr, rg, rb, st, isect, eligible, it_u, dep):
+    def _nee_add(rr, rg, rb, st, isect, eligible, it_u, dep,
+                 winners=None, collect=None):
         """Direct lighting (NEE) on planes: one area sample + one
         shadow trace per static light; semantics mirror
         render.integrator._nee_direct exactly."""
@@ -1789,6 +1823,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             sh = trace_nearest(
                 px, py, pz, sdx, sdy, sdz, tpl,
                 live=jnp.where(has_diffuse, 1.0, 0.0),
+                winners=winners, collect=collect,
             )
             tol = jnp.maximum(1e-3, 5e-3 * dist_l)
             visible = (
@@ -1838,12 +1873,16 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             state["med_b"] = jnp.ones((SUB, LANES), jnp.float32)
         return state
 
-    def bounce(st, d, it_u):
+    def bounce(st, d, it_u, winners=None, collect=None):
         """One intersect+shade step — exposed (with :func:`init_state`)
         for the reverse sweep in :func:`_vjp_kernel`, which transposes
-        the trace bounce-by-bounce."""
-        isect = intersect(st)
-        return shade(st, isect, d, it_u)
+        the trace bounce-by-bounce.  ``winners``/``collect`` hoist the
+        detached BVH traversals out of the differentiated trace
+        ('carry' mode): the forward sweep collects one winner set per
+        trace_nearest call, the vjp'd bounce consumes them."""
+        isect = intersect(st, winners=winners, collect=collect)
+        return shade(st, isect, d, it_u, winners=winners,
+                     collect=collect)
 
     def trace_one(it_u, counts_acc):
         """One sample's full trace: raygen -> depth loop.  Returns the
@@ -2067,19 +2106,17 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 # host wrapper
 # ----------------------------------------------------------------------------
 
-# in-kernel image-texture ceilings: each used texture's flat table is
-# lane-replicated in VMEM (the equal-shape sublane dynamic-gather is
-# the only gather Mosaic lowers, see _tex_fetch) as u8-PACKED i32
-# words — four texels per word, so a texel costs 32 lane-replicated
-# BYTES instead of 512 (the round-2 f32 layout; exact, because loader
-# texels are u8/255 — _tex_in_kernel checks).  KTEX_MAX_TEXELS bounds
-# the TOTAL across all geom-referenced textures (tables + the
-# broadcast gather index live in the same 110 MB kernel VMEM budget as
-# the triangle/BVH tables): 65,536 texels = 2 MB/channel packed, the
-# same VMEM the old caps spent on 16,384.  Beyond either cap the scene
-# falls back to the fused-plane XLA engine.
-KTEX_MAX_SIDE = 256
-KTEX_MAX_TEXELS = 65536  # e.g. one 256x256 map, or sixteen 64x64
+# in-kernel image-texture ceilings.  The binding constraint is NOT
+# VMEM (u8-packed tables cost HWtot/4 bytes per channel) but
+# tpu.dynamic_gather's single-vreg source limit: each bilinear tap
+# unrolls over the table's ceil(HWtot/512) word-rows (one lane-gather
+# + select each, _tex_fetch), so fetch cost is LINEAR in the total
+# texel count.  16,384 texels = 32 word-rows/channel ~= 100 VPU ops
+# per tap — bounded against the ~13k-op kernel.  Beyond either cap
+# the scene falls back to the fused-plane XLA engine (HBM tables,
+# native gather, any size).
+KTEX_MAX_SIDE = 128
+KTEX_MAX_TEXELS = 16384  # e.g. one 128x128 map, or four 64x64
 
 
 def _tex_used(scene):
@@ -2186,12 +2223,14 @@ def _pack_textures(scene, used, packed=False):
     least SUB rows so the gather's [:SUB] slice is always valid (a
     lone 4x4 texture is only 16 texels).
 
-    ``packed=False`` (the XLA engines): (HWtot, LANES) f32 — plain
-    differentiable values, texel gradients flow through the gather.
-    ``packed=True`` (the megakernel): (ceil(HWtot/4), LANES) i32 with
-    four u8 texels per word — 4x less VMEM per texel, which is what
-    buys the KTEX_MAX_SIDE/KTEX_MAX_TEXELS caps; exact because loader
-    texels are u8/255 (``_tex_in_kernel`` verifies the u8 grid)."""
+    ``packed=False`` (the XLA engines): lane-replicated (HWtot, LANES)
+    f32 — plain differentiable values, texel gradients flow through
+    the gather.
+    ``packed=True`` (the megakernel): (n_rows, LANES) i32, four u8
+    texels per word, words row-major 128 to a row (no lane
+    replication) — the only layout whose fetch Mosaic can lower (see
+    :func:`_tex_fetch`); exact because loader texels are u8/255
+    (``_tex_in_kernel`` verifies the u8 grid)."""
     outs = []
     for c in range(3):
         flat = jnp.concatenate([
@@ -2205,8 +2244,16 @@ def _pack_textures(scene, used, packed=False):
             q = jnp.concatenate(
                 [q, jnp.zeros((n4 * 4 - q.shape[0],), jnp.int32)]
             ).reshape(n4, 4)
-            flat = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
-                    | (q[:, 3] << 24))
+            words = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+                     | (q[:, 3] << 24))
+            n_rows = (words.shape[0] + LANES - 1) // LANES
+            words = jnp.concatenate([
+                words,
+                jnp.zeros((n_rows * LANES - words.shape[0],),
+                          jnp.int32),
+            ])
+            outs.append(words.reshape(n_rows, LANES))
+            continue
         if flat.shape[0] < SUB:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((SUB - flat.shape[0],), flat.dtype)]
@@ -2872,8 +2919,10 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     cam0 = cam_ref[:, :]
     mats0 = mats_ref[:, :]
     gmat0 = gmat_ref[:, :]
-    tri0 = tri_ref[:, :] if n_tris else None
-    nodes0 = nodes_ref[:, :] if (n_tris and bvh_meta) else None
+    # tri/nodes stay RAW REFS: the carry-mode traversal indexes them
+    # with traced loop counters, which Mosaic lowers for refs but not
+    # for loaded values (dynamic_slice has no TC lowering); they are
+    # detached (closure constants) either way
     lights0 = lights_ref[:, :] if nee else None
     ct = (ct_r_ref[:, :], ct_g_ref[:, :], ct_b_ref[:, :])
 
@@ -2890,11 +2939,11 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         # tri_verts gradients ride the planes engine (Mosaic has no
         # scatter for the gather transpose).
         return _make_tracer(
-            cam_v, mats_v, gmat_v, tri0, lights_v,
+            cam_v, mats_v, gmat_v, tri_ref, lights_v,
             geom_types=geom_types, width=width, height=height,
             depth=depth, n_tris=n_tris, features=features,
             nee_lights=nee_lights, pix_u=pix_u, fx=fx, fy=fy,
-            valid=valid, nodes=nodes0, bvh_meta=bvh_meta,
+            valid=valid, nodes=nodes_ref, bvh_meta=bvh_meta,
             bvh_grad="carry" if bvh_meta else False,
         )
 
@@ -2911,10 +2960,18 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         # bounce (~15 (SUB,LANES) planes each — the remat residual set;
         # Mosaic cannot lower lax.scan transposes or remat2 calls, so
         # the reversal is written out: recompute bounce d from its
-        # stored input state, transpose it, walk d backwards.
+        # stored input state, transpose it, walk d backwards.  Mesh
+        # scenes additionally store each bounce's detached BVH winner
+        # planes (collect=...): inside jax.vjp, ref reads discharge to
+        # value dynamic_slices Mosaic cannot lower, so the traversal
+        # runs only HERE and the vjp'd bounce consumes its winners as
+        # constants — identical values, identical trace.
         states = [tr0.init_state(it_u)]
+        winners = []
         for d in range(depth):
-            states.append(tr0.bounce(states[-1], d, it_u))
+            col = []
+            states.append(tr0.bounce(states[-1], d, it_u, collect=col))
+            winners.append(col)
         final = states[-1]
 
         # ---- reverse sweep
@@ -2924,7 +2981,9 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         d_tab = jax.tree.map(jnp.zeros_like, tables0)
         for d in reversed(range(depth)):
             def f_d(tables, st_in, _d=d):
-                return tracer_for(tables).bounce(st_in, _d, it_u)
+                return tracer_for(tables).bounce(
+                    st_in, _d, it_u, winners=list(winners[_d])
+                )
 
             _, vjp_fn = jax.vjp(f_d, tables0, states[d])
             dt, d_st = vjp_fn(d_st)

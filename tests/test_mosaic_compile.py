@@ -1,0 +1,87 @@
+"""Mosaic compilability — AOT TPU compiles without hardware.
+
+Interpret-mode tests execute the kernel's MATH but never run Mosaic's
+lowering, and AOT *lowering* (StableHLO) stops short of it too: round
+2 shipped an in-kernel texture design whose gather could never compile
+on hardware ("Not implemented: Multiple source vregs along gather
+dimension" — tpu.dynamic_gather takes single-vreg sources only), and
+nothing caught it while the TPU tunnel was down.  These tests close
+that hole: ``jax.experimental.topologies`` compiles the real kernels
+for a v5e target on any machine (libtpu does the compile; no chips
+needed), so a kernel that cannot lower fails HERE, on CPU, in CI.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pathtrace_tpu as pt
+from pathtrace_tpu.ops.pallas import megakernel as mk
+
+
+@pytest.fixture(scope="module")
+def tpu_dev():
+    from jax.experimental import topologies
+
+    try:
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name="v5e:2x2"
+        )
+    except Exception as e:  # pragma: no cover - no libtpu
+        pytest.skip(f"no TPU topology support: {e}")
+    return topo.devices[0]
+
+
+def _compile_fwd(scene, dev, nee=False):
+    tg, tu, bg = mk._tex_statics(scene)
+    feats = mk._scene_features(scene)
+    with jax.default_device(dev):
+        mk._batch_jit.lower(
+            scene, 1, 2, False, False, feats, nee, False, tg, tu, bg
+        ).compile()
+
+
+def test_textured_kernel_compiles(tpu_dev):
+    """cornell_tex: albedo map + BUMPTEX through the chunked 2D
+    in-vreg gather (_tex_fetch).  The round-2 design failed here."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_tex.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    assert mk._tex_in_kernel(sc)
+    _compile_fwd(sc, tpu_dev)
+
+
+def test_mesh_bumptex_kernel_compiles(tpu_dev):
+    """cornell_bumpmesh: mesh tangent frames + height-map taps."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_bumpmesh.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    _compile_fwd(sc, tpu_dev, nee=True)
+
+
+def test_mesh_vjp_kernel_compiles(tpu_dev):
+    """The in-kernel reverse sweep on a mesh scene ('carry'-mode BVH
+    traversal): the per-bounce jax.vjp must stay Mosaic-lowerable."""
+    from pathtrace_tpu.render.diff import split_params
+
+    sc = dc.replace(pt.load_scene("scenes/cornell_mesh.txt"),
+                    resolution=(32, 32), trace_depth=2)
+    params = split_params(sc)
+    ct = jnp.ones((sc.pixel_count, 3), jnp.float32)
+    nee_lights = tuple(
+        (int(li), int(sc.geoms.type[li])) for li in sc.light_indices
+    )
+    feats = mk._scene_features(sc)
+    with jax.default_device(tpu_dev):
+        mk._render_vjp_jit.lower(
+            sc, params, ct, 1, 1, False, feats, True, nee_lights
+        ).compile()
+
+
+def test_split_engine_compiles(tpu_dev):
+    """The span kernels + scalar-prefetched resume grid."""
+    sc = dc.replace(pt.load_scene("scenes/cornell.txt"),
+                    resolution=(64, 64), trace_depth=4)
+    feats = mk._scene_features(sc)
+    with jax.default_device(tpu_dev):
+        mk._batch_split_jit.lower(sc, 1, 2, 2, False, feats).compile()
