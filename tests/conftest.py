@@ -64,3 +64,20 @@ def cornell_small(cornell_scene):
     return dataclasses.replace(
         cornell_scene, resolution=(32, 32), trace_depth=4
     )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    One pytest process accumulates every module's jit cache (the
+    interpret-mode kernels compile to very large XLA:CPU executables);
+    past ~60% of the suite the process has segfaulted inside the
+    persistent-cache writer under that memory pressure.  Warm entries
+    reload from .jax_cache, so the cross-module recompiles this forces
+    are disk reads, not compiles.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

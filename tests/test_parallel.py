@@ -127,9 +127,14 @@ class TestShardedPallas:
         )
         from pathtrace_tpu.render.diff import split_params
 
+        # 2-device mesh + depth 2: the interpret-mode vjp compile in
+        # shard_map dominates the whole SUITE's runtime (285 s at
+        # 8 dev / depth 3) and is not persistently cacheable; the psum
+        # bookkeeping this test checks is device-count-independent
         tiny = dataclasses.replace(
-            cornell_small, resolution=(12, 12), trace_depth=3
+            cornell_small, resolution=(12, 12), trace_depth=2
         )
+        mesh = ps.make_mesh(2)
         target = np.zeros((tiny.pixel_count, 3), np.float32)
         ndev = mesh.devices.size
         loss_s, g_s = ps.sharded_grad_step_pallas(
