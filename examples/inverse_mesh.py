@@ -27,12 +27,12 @@ import pathtrace_tpu as pt
 from pathtrace_tpu.render import diff
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--res", type=int, default=48)
     ap.add_argument("--spp", type=int, default=4)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -98,6 +98,7 @@ def main():
           f"({args.steps} steps, {dt:.1f}s, "
           f"{dt / args.steps * 1e3:.0f} ms/step)")
     assert float(loss1) < 0.8 * loss0, "image loss did not decrease"
+    return loss0, float(loss1)
 
 
 if __name__ == "__main__":

@@ -124,19 +124,39 @@ def main(argv=None) -> int:
         print(f"[pathtrace_tpu] resumed at iteration {done}", flush=True)
 
     def make_render_fn(scene):
+        compaction = args.compaction
+        if args.engine in ("pallas", "planes") and compaction == "sort":
+            # One behavior everywhere (round-3 advisor): the tiled
+            # engines have no densify pass (every VMEM lane computes
+            # every bounce under a live mask — the measured
+            # architectural argument in BENCHMARKS.md "compaction on
+            # TPU"), so warn and keep the fast engine with masking —
+            # the same image, and the same choice make_sharded_renderer
+            # makes.  Sort-compaction lives on `--engine xla` (the jnp
+            # wavefront), the only engine where densification exists.
+            print(
+                "[pathtrace_tpu] WARNING: --compaction sort is a "
+                f"wavefront-engine mode; the tiled {args.engine} "
+                "engine masks dead lanes instead (same image, no "
+                "densify pass) — rendering proceeds on "
+                f"{args.engine} with masking.  Use --engine xla to "
+                "run the sort-densify wavefront.",
+                flush=True,
+            )
+            compaction = "mask"
         if args.shard:
             from pathtrace_tpu.parallel.shard import make_sharded_renderer
 
             import jax
 
             return make_sharded_renderer(
-                scene, args.compaction, engine=args.engine,
+                scene, compaction, engine=args.engine,
                 interpret=(
                     args.interpret
                     and jax.default_backend() not in ("tpu", "axon")
                 ),
             )
-        if args.engine == "planes" and args.compaction == "mask":
+        if args.engine == "planes" and compaction == "mask":
             from pathtrace_tpu.render.plane_engine import (
                 pathtrace_batch_planes,
             )
@@ -144,7 +164,7 @@ def main(argv=None) -> int:
             return lambda it0, step: pathtrace_batch_planes(
                 scene, it0, step, nee=args.nee, rr=args.rr,
             )
-        if args.engine == "pallas" and args.compaction == "mask":
+        if args.engine == "pallas" and compaction == "mask":
             import jax
 
             on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -175,24 +195,6 @@ def main(argv=None) -> int:
 
             return lambda it0, step: pathtrace_batch_planes(
                 scene, it0, step, nee=args.nee, rr=args.rr,
-            )
-        if args.engine in ("pallas", "planes"):
-            # the only way here: a fast engine + sort-compaction.
-            # Densification has no meaning inside the tiled engines
-            # (every VMEM lane computes every bounce under a live
-            # mask — the measured architectural argument in
-            # BENCHMARKS.md "compaction on TPU"), so honor the
-            # compaction request on the only engine that implements
-            # it, and say so LOUDLY: this is the ~460x-slower jnp
-            # wavefront (1140 ms/iter vs 2.5 on cornell 800x800).
-            print(
-                f"[pathtrace_tpu] WARNING: --engine {args.engine} has "
-                "no sort-compaction mode (tiled engines mask, they "
-                "don't densify); running --compaction sort on the jnp "
-                "wavefront engine instead — expect ~2 orders of "
-                "magnitude slower iterations.  Drop --compaction sort "
-                "to stay on the fast engine.",
-                flush=True,
             )
         return None
 

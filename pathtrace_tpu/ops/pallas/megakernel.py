@@ -186,14 +186,14 @@ def _asin(t):
     return _atan2(t, jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0)))
 
 
-def _tex_fetch(tab, flat_idx):
-    """One texel tap from a chunked u8-packed table (the ONLY texture
-    fetch Mosaic can actually compile — see the hardware constraint
-    below).
+def _tex_fetch_multi(tab, idxs):
+    """N texel taps from a u8-packed word table in ONE row sweep.
 
-    ``tab`` (n_chunks*SUB, LANES) i32: the flat texel stream u8-packed
+    ``tab`` (n_rows, LANES) i32: the flat texel stream u8-packed
     four-to-a-word (:func:`_pack_textures` ``packed=True``), words laid
-    out row-major across full (8,128) vregs — NOT lane-replicated.
+    out row-major 128 to a row — NOT lane-replicated.  ``idxs``:
+    sequence of (SUB, LANES) i32 texel indices (e.g. the 4 bilinear
+    taps); returns the matching f32 texel planes.
 
     Hardware constraint (found by AOT-compiling for v5e,
     tools/compile_table.py / tests/test_mosaic_compile.py — Mosaic:
@@ -201,31 +201,55 @@ def _tex_fetch(tab, flat_idx):
     ``tpu.dynamic_gather`` only lowers when the source is a SINGLE
     vreg along the gathered dimension, so the round-2 design
     (lane-replicated (HWtot,128) tables, one big sublane gather) never
-    compiled for hardware at any useful size.  The working primitive —
-    the only probed variant Mosaic's layout pass accepts inside the
-    full kernel — unrolls over the table's WORD-ROWS: broadcast each
-    128-word row to all sublanes (static slice), lane-gather it by the
-    raw per-lane lane index (axis=1, always one vreg wide), and
-    compare-select by the wanted row.  Cost is linear in table size —
-    that linearity (not VMEM) now sets KTEX_MAX_TEXELS: 16,384 texels
-    = 32 word-rows ~= 100 VPU ops per tap.
+    compiled for hardware at any useful size.  The working primitive
+    unrolls over the table's WORD-ROWS: broadcast each 128-word row to
+    all sublanes (static slice), lane-gather it by the raw per-lane
+    lane index (axis=1, always one vreg wide along the gather dim),
+    and compare-select by the wanted row.  A true two-level (sublane
+    then lane) in-vreg gather would cover 8 rows per step, but no
+    composition of two single-index gathers computes
+    ``chunk[r[s,l], c[s,l]]`` for arbitrary 2-D indices (round-4 probe:
+    it compiles and returns the WRONG ROW — ``r`` is applied at the
+    gathered lane position, caught by test_textures'
+    test_tex_fetch_exact); the row sweep is the honest optimum under
+    the single-vreg constraint.  Cost is linear in table size, so this
+    multi-tap form amortizes the row broadcast + index prep across all
+    N taps of a bilinear (the dominant per-row cost after the gather
+    itself), and KTEX_MAX_TEXELS is set at the measured in-kernel /
+    planes-engine crossover (BENCHMARKS.md "texture crossover").
 
     Texels are u8-sourced (scene/textures.py loads PNGs as u8/255), so
     ``f32(u8)/255`` reproduces the f32 value the XLA engines fetch,
-    bit-for-bit.  ``flat_idx`` (SUB, LANES) i32 texel index."""
-    word_idx = jax.lax.shift_right_logical(flat_idx, 2)
-    row_t = jax.lax.shift_right_logical(word_idx, 7)
-    lane_t = word_idx & 127
+    bit-for-bit."""
     n_rows = tab.shape[0]
     tab = jax.lax.stop_gradient(tab)
-    word = jnp.zeros((SUB, LANES), jnp.int32)
+    shape = idxs[0].shape
+    pre = []
+    for flat_idx in idxs:
+        word_idx = jax.lax.shift_right_logical(flat_idx, 2)
+        row_t = jax.lax.shift_right_logical(word_idx, 7)
+        lane_t = word_idx & 127
+        pre.append((row_t, lane_t,
+                    jnp.zeros(shape, jnp.int32)))
     for r in range(n_rows):
-        row = jnp.broadcast_to(tab[r:r + 1, :], (SUB, LANES))
-        got = jnp.take_along_axis(row, lane_t, axis=1)
-        word = jnp.where(row_t == r, got, word)
-    shift = jax.lax.shift_left(flat_idx & 3, 3)   # 8 * (t % 4)
-    byte = jax.lax.shift_right_logical(word, shift) & 0xFF
-    return byte.astype(jnp.float32) / jnp.float32(255.0)
+        row = jnp.broadcast_to(tab[r:r + 1, :], shape)
+        pre = [
+            (row_t, lane_t,
+             jnp.where(row_t == r,
+                       jnp.take_along_axis(row, lane_t, axis=1), word))
+            for (row_t, lane_t, word) in pre
+        ]
+    outs = []
+    for flat_idx, (_, _, word) in zip(idxs, pre):
+        shift = jax.lax.shift_left(flat_idx & 3, 3)   # 8 * (t % 4)
+        byte = jax.lax.shift_right_logical(word, shift) & 0xFF
+        outs.append(byte.astype(jnp.float32) / jnp.float32(255.0))
+    return outs
+
+
+def _tex_fetch(tab, flat_idx):
+    """One texel tap — see :func:`_tex_fetch_multi`."""
+    return _tex_fetch_multi(tab, (flat_idx,))[0]
 
 
 def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
@@ -268,7 +292,15 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
     # fused-plane XLA engine (render/plane_engine.py) passes XLA's
     # native unpadded gather — identical output, no (HWtot, LANES)
     # index materialization
-    tex_fetch = _tex_fetch if tex_fetch is None else tex_fetch
+    if tex_fetch is None:
+        tex_fetch = _tex_fetch
+        # kernel path: one row sweep serves all taps of a bilinear
+        tex_fetch_multi = _tex_fetch_multi
+    else:
+        # XLA engines: native gather per tap, nothing to amortize
+        tex_fetch_multi = (
+            lambda tab, idxs, _f=tex_fetch: [_f(tab, i) for i in idxs]
+        )
 
     c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -348,14 +380,25 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         return ox, oy, oz, dx, dy, dz
 
     def trace_nearest(ox, oy, oz, dx, dy, dz, tpl, live=None,
-                      want_tex=False, winners=None, collect=None):
+                      want_tex=False, winners=None, collect=None,
+                      shadow=False):
         """Nearest hit over unrolled geoms (and VMEM triangles) for
         arbitrary ray planes — used for both path rays and NEE shadow
         rays.  Returns plane dict.  ``live`` (optional f32 bool plane)
         only narrows BVH traversal: dead lanes stop pulling nodes into
-        the any-lane test (their best entries are unused by shade)."""
-        tex_here = tex_mode and want_tex  # shadow rays skip textures
-        btex_here = btex_mode and want_tex
+        the any-lane test (their best entries are unused by shade).
+
+        ``shadow=True`` (NEE visibility): the fold keeps only
+        ``dist``/``gidx``/``hit`` — the three planes ``_nee_add``'s
+        nearest-is-the-light test reads — and skips all normal,
+        material, bump, checker and UV work per geom.  The distance
+        math and the ``dist < best`` winner predicate are untouched,
+        so visibility is bit-identical to a full trace (round-4 NEE
+        pass; the reference's shadow rays are full intersections,
+        spec README.md:112-114, but nothing downstream reads more
+        than the winner's identity)."""
+        tex_here = tex_mode and want_tex and not shadow
+        btex_here = btex_mode and want_tex and not shadow
         # mesh bump mapping: any MESH geom with a BUMPTEX chart means
         # the fold also carries the winner triangle's UV tangent
         # frames (grad_u, grad_v — packed at tri cols 18..23)
@@ -365,28 +408,34 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         )
         TANG_KEYS = ("bgux", "bguy", "bguz", "bgvx", "bgvy", "bgvz")
         big = jnp.float32(NO_HIT)
-        best = dict(
-            dist=jnp.full((SUB, LANES), big, jnp.float32),
-            px=ox, py=oy, pz=oz,
-            nx=jnp.zeros((SUB, LANES), jnp.float32),
-            ny=jnp.zeros((SUB, LANES), jnp.float32),
-            nz=jnp.zeros((SUB, LANES), jnp.float32),
-            outside=jnp.zeros((SUB, LANES), jnp.float32),  # f32 mask
-            # material planes selected during the fold
-            mc_r=jnp.zeros((SUB, LANES), jnp.float32),
-            mc_g=jnp.zeros((SUB, LANES), jnp.float32),
-            mc_b=jnp.zeros((SUB, LANES), jnp.float32),
-            ms_r=jnp.zeros((SUB, LANES), jnp.float32),
-            ms_g=jnp.zeros((SUB, LANES), jnp.float32),
-            ms_b=jnp.zeros((SUB, LANES), jnp.float32),
-            m_ex=jnp.zeros((SUB, LANES), jnp.float32),
-            m_refl=jnp.zeros((SUB, LANES), jnp.float32),
-            m_refr=jnp.zeros((SUB, LANES), jnp.float32),
-            m_ior=jnp.zeros((SUB, LANES), jnp.float32),
-            m_emit=jnp.zeros((SUB, LANES), jnp.float32),
-            gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
-            push=jnp.zeros((SUB, LANES), jnp.float32),
-        )
+        if shadow:
+            best = dict(
+                dist=jnp.full((SUB, LANES), big, jnp.float32),
+                gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
+            )
+        else:
+            best = dict(
+                dist=jnp.full((SUB, LANES), big, jnp.float32),
+                px=ox, py=oy, pz=oz,
+                nx=jnp.zeros((SUB, LANES), jnp.float32),
+                ny=jnp.zeros((SUB, LANES), jnp.float32),
+                nz=jnp.zeros((SUB, LANES), jnp.float32),
+                outside=jnp.zeros((SUB, LANES), jnp.float32),  # f32 mask
+                # material planes selected during the fold
+                mc_r=jnp.zeros((SUB, LANES), jnp.float32),
+                mc_g=jnp.zeros((SUB, LANES), jnp.float32),
+                mc_b=jnp.zeros((SUB, LANES), jnp.float32),
+                ms_r=jnp.zeros((SUB, LANES), jnp.float32),
+                ms_g=jnp.zeros((SUB, LANES), jnp.float32),
+                ms_b=jnp.zeros((SUB, LANES), jnp.float32),
+                m_ex=jnp.zeros((SUB, LANES), jnp.float32),
+                m_refl=jnp.zeros((SUB, LANES), jnp.float32),
+                m_refr=jnp.zeros((SUB, LANES), jnp.float32),
+                m_ior=jnp.zeros((SUB, LANES), jnp.float32),
+                m_emit=jnp.zeros((SUB, LANES), jnp.float32),
+                gidx=jnp.full((SUB, LANES), -1.0, jnp.float32),
+                push=jnp.zeros((SUB, LANES), jnp.float32),
+            )
         if tex_here:
             # winner texture chart: flat table offset (-1 = none) + the
             # texture's (H, W) + hit UV — sampled ONCE after the fold.
@@ -455,14 +504,15 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 out_raw = both_pos
                 tofs = t_use - jnp.float32(RAY_OFFSET)
                 qx, qy, qz = rox + tofs * rdx, roy + tofs * rdy, roz + tofs * rdz
-                # normal via invT (rows 24..32), flipped inside
-                nx0 = m(24) * qx + m(25) * qy + m(26) * qz
-                ny0 = m(27) * qx + m(28) * qy + m(29) * qz
-                nz0 = m(30) * qx + m(31) * qy + m(32) * qz
-                nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
-                flip = jnp.where(out_raw, 1.0, -1.0)
-                nx0, ny0, nz0 = nx0 * flip, ny0 * flip, nz0 * flip
-                outside = hit & out_raw
+                if not shadow:
+                    # normal via invT (rows 24..32), flipped inside
+                    nx0 = m(24) * qx + m(25) * qy + m(26) * qz
+                    ny0 = m(27) * qx + m(28) * qy + m(29) * qz
+                    nz0 = m(30) * qx + m(31) * qy + m(32) * qz
+                    nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                    flip = jnp.where(out_raw, 1.0, -1.0)
+                    nx0, ny0, nz0 = nx0 * flip, ny0 * flip, nz0 * flip
+                    outside = hit & out_raw
             else:  # CUBE: slab test, sequential-axis semantics
                 tmin = jnp.full((SUB, LANES), -1e38, jnp.float32)
                 tmax = jnp.full((SUB, LANES), 1e38, jnp.float32)
@@ -480,34 +530,38 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     # zero direction component) produce NaN; _one_box's
                     # min() propagates it into tmax -> miss, so match
                     nan_axis = nan_axis | jnp.isnan(t1) | jnp.isnan(t2)
-                    sign = jnp.where(t2 < t1, 1.0, -1.0)
                     upd_min = (ta > 0) & (ta > tmin)
                     tmin = jnp.where(upd_min, ta, tmin)
-                    nmin = [
-                        jnp.where(upd_min, sign if k == ax else 0.0, nmin[k])
-                        for k in range(3)
-                    ]
                     upd_max = tb < tmax
                     tmax = jnp.where(upd_max, tb, tmax)
-                    nmax = [
-                        jnp.where(upd_max, sign if k == ax else 0.0, nmax[k])
-                        for k in range(3)
-                    ]
+                    if not shadow:  # face-normal tracking
+                        sign = jnp.where(t2 < t1, 1.0, -1.0)
+                        nmin = [
+                            jnp.where(upd_min, sign if k == ax else 0.0,
+                                      nmin[k])
+                            for k in range(3)
+                        ]
+                        nmax = [
+                            jnp.where(upd_max, sign if k == ax else 0.0,
+                                      nmax[k])
+                            for k in range(3)
+                        ]
                 hit = (tmax >= tmin) & (tmax > 0) & ~nan_axis
                 inside = tmin <= 0
                 t_use = jnp.where(inside, tmax, tmin)
-                nox = jnp.where(inside, nmax[0], nmin[0])
-                noy = jnp.where(inside, nmax[1], nmin[1])
-                noz = jnp.where(inside, nmax[2], nmin[2])
-                outside = hit & ~inside
                 tofs = t_use - jnp.float32(RAY_OFFSET)
                 qx, qy, qz = rox + tofs * rdx, roy + tofs * rdy, roz + tofs * rdz
-                # quirk: box normal via the FORWARD transform
-                # (src/intersections.h:85); fwd rows are 0..12
-                nx0 = m(0) * nox + m(1) * noy + m(2) * noz
-                ny0 = m(4) * nox + m(5) * noy + m(6) * noz
-                nz0 = m(8) * nox + m(9) * noy + m(10) * noz
-                nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                if not shadow:
+                    nox = jnp.where(inside, nmax[0], nmin[0])
+                    noy = jnp.where(inside, nmax[1], nmin[1])
+                    noz = jnp.where(inside, nmax[2], nmin[2])
+                    outside = hit & ~inside
+                    # quirk: box normal via the FORWARD transform
+                    # (src/intersections.h:85); fwd rows are 0..12
+                    nx0 = m(0) * nox + m(1) * noy + m(2) * noz
+                    ny0 = m(4) * nox + m(5) * noy + m(6) * noz
+                    nz0 = m(8) * nox + m(9) * noy + m(10) * noz
+                    nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
 
             # world point + world distance (fwd rows 0..12)
             pxw = m(0) * qx + m(1) * qy + m(2) * qz + m(3)
@@ -525,6 +579,13 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             better = dist < best["dist"]
             mt = lambda k: mats[g, k]
             sel = lambda a, b: jnp.where(better, a, b)
+            if shadow:
+                best = dict(
+                    dist=sel(dist, best["dist"]),
+                    gidx=sel(jnp.full((SUB, LANES), float(g),
+                                      jnp.float32), best["gidx"]),
+                )
+                continue
             if has_bump:
                 nx0, ny0, nz0 = _bump_perturb(
                     nx0, ny0, nz0, qx, qy, qz, mt(15), mt(16),
@@ -671,15 +732,16 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     pxw = pxw + tpl * m(56)
                     pyw = pyw + tpl * m(57)
                     pzw = pzw + tpl * m(58)
-                # ray-facing object normal, then invT to world
-                nox, noy, noz = m(42), m(43), m(44)
-                face = rdx * nox + rdy * noy + rdz * noz
-                flip = jnp.where(face < 0.0, 1.0, -1.0)
-                nx0 = (m(24) * nox + m(25) * noy + m(26) * noz) * flip
-                ny0 = (m(27) * nox + m(28) * noy + m(29) * noz) * flip
-                nz0 = (m(30) * nox + m(31) * noy + m(32) * noz) * flip
-                nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
-                outside = hit & (face < 0.0)
+                if not shadow:
+                    # ray-facing object normal, then invT to world
+                    nox, noy, noz = m(42), m(43), m(44)
+                    face = rdx * nox + rdy * noy + rdz * noz
+                    flip = jnp.where(face < 0.0, 1.0, -1.0)
+                    nx0 = (m(24) * nox + m(25) * noy + m(26) * noz) * flip
+                    ny0 = (m(27) * nox + m(28) * noy + m(29) * noz) * flip
+                    nz0 = (m(30) * nox + m(31) * noy + m(32) * noz) * flip
+                    nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                    outside = hit & (face < 0.0)
                 if has_motion:
                     ddx, ddy, ddz = dtx, dty, dtz
                 else:
@@ -689,6 +751,12 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 
                 better = dist < best["dist"]
                 sel = lambda a, b: jnp.where(better, a, b)
+                if shadow:
+                    return dict(
+                        dist=sel(dist, best["dist"]),
+                        gidx=sel(jnp.full((SUB, LANES), m(65),
+                                          jnp.float32), best["gidx"]),
+                    )
                 if has_bump:
                     nx0, ny0, nz0 = _bump_perturb(
                         nx0, ny0, nz0, qx, qy, qz, m(63), m(64),
@@ -895,25 +963,29 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     pxw = m(0) * qx + m(1) * qy + m(2) * qz + m(3)
                     pyw = m(4) * qx + m(5) * qy + m(6) * qz + m(7)
                     pzw = m(8) * qx + m(9) * qy + m(10) * qz + m(11)
-                    if extra_hit is not None:
-                        # detached-recompute modes: no-winner lanes
-                        # carry an all-zero row ("carry") — a zero
-                        # object normal reaches _normalize3 and its
-                        # 1/sqrt(0) VJP poisons the gmat cotangents
-                        # (NaN in TRS grads).  Substitute a unit axis
-                        # on miss lanes: output-neutral (better=False
-                        # discards them below), forward-identical on
-                        # every hit lane.
-                        nox = jnp.where(hit, nox, 1.0)
-                        noy = jnp.where(hit, noy, 0.0)
-                        noz = jnp.where(hit, noz, 0.0)
-                    face = rdx * nox + rdy * noy + rdz * noz
-                    flip = jnp.where(face < 0.0, 1.0, -1.0)
-                    nx0 = (m(24) * nox + m(25) * noy + m(26) * noz) * flip
-                    ny0 = (m(27) * nox + m(28) * noy + m(29) * noz) * flip
-                    nz0 = (m(30) * nox + m(31) * noy + m(32) * noz) * flip
-                    nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
-                    outside = hit & (face < 0.0)
+                    if not shadow:
+                        if extra_hit is not None:
+                            # detached-recompute modes: no-winner lanes
+                            # carry an all-zero row ("carry") — a zero
+                            # object normal reaches _normalize3 and its
+                            # 1/sqrt(0) VJP poisons the gmat cotangents
+                            # (NaN in TRS grads).  Substitute a unit
+                            # axis on miss lanes: output-neutral
+                            # (better=False discards them below),
+                            # forward-identical on every hit lane.
+                            nox = jnp.where(hit, nox, 1.0)
+                            noy = jnp.where(hit, noy, 0.0)
+                            noz = jnp.where(hit, noz, 0.0)
+                        face = rdx * nox + rdy * noy + rdz * noz
+                        flip = jnp.where(face < 0.0, 1.0, -1.0)
+                        nx0 = (m(24) * nox + m(25) * noy
+                               + m(26) * noz) * flip
+                        ny0 = (m(27) * nox + m(28) * noy
+                               + m(29) * noz) * flip
+                        nz0 = (m(30) * nox + m(31) * noy
+                               + m(32) * noz) * flip
+                        nx0, ny0, nz0 = _normalize3(nx0, ny0, nz0)
+                        outside = hit & (face < 0.0)
                     ddx, ddy, ddz = gox - pxw, goy - pyw, goz - pzw
                     if has_motion:
                         pxw = pxw + tpl * m(33)
@@ -928,6 +1000,15 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 
                     better = dist < best["dist"]
                     sel = lambda a, b: jnp.where(better, a, b)
+                    if shadow:
+                        best = dict(
+                            dist=sel(dist, best["dist"]),
+                            gidx=sel(
+                                jnp.full((SUB, LANES), float(g),
+                                         jnp.float32), best["gidx"],
+                            ),
+                        )
+                        return best, tt, hit
                     if has_bump:
                         nx0, ny0, nz0 = _bump_perturb(
                             nx0, ny0, nz0, qx, qy, qz, mt(15), mt(16),
@@ -1259,10 +1340,9 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 i11 = off_i + y1 * wi + x1
                 out = []
                 for tab in (texr, texg, texb):
-                    c00 = tex_fetch(tab, i00)
-                    c01 = tex_fetch(tab, i01)
-                    c10 = tex_fetch(tab, i10)
-                    c11 = tex_fetch(tab, i11)
+                    c00, c01, c10, c11 = tex_fetch_multi(
+                        tab, (i00, i01, i10, i11)
+                    )
                     top = c00 * (1.0 - fx_w) + c01 * fx_w
                     bot = c10 * (1.0 - fx_w) + c11 * fx_w
                     out.append(top * (1.0 - fy_w) + bot * fy_w)
@@ -1823,7 +1903,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
             sh = trace_nearest(
                 px, py, pz, sdx, sdy, sdz, tpl,
                 live=jnp.where(has_diffuse, 1.0, 0.0),
-                winners=winners, collect=collect,
+                winners=winners, collect=collect, shadow=True,
             )
             tol = jnp.maximum(1e-3, 5e-3 * dist_l)
             visible = (
@@ -2109,14 +2189,22 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 # in-kernel image-texture ceilings.  The binding constraint is NOT
 # VMEM (u8-packed tables cost HWtot/4 bytes per channel) but
 # tpu.dynamic_gather's single-vreg source limit: each bilinear tap
-# unrolls over the table's ceil(HWtot/512) word-rows (one lane-gather
-# + select each, _tex_fetch), so fetch cost is LINEAR in the total
-# texel count.  16,384 texels = 32 word-rows/channel ~= 100 VPU ops
-# per tap — bounded against the ~13k-op kernel.  Beyond either cap
-# the scene falls back to the fused-plane XLA engine (HBM tables,
-# native gather, any size).
-KTEX_MAX_SIDE = 128
-KTEX_MAX_TEXELS = 16384  # e.g. one 128x128 map, or four 64x64
+# sweeps the table's ceil(HWtot/512) word-rows (_tex_fetch_multi;
+# one lane-gather + select per tap per row), so fetch cost is LINEAR
+# in the total texel count.  The round-4 HW sweep (tools/
+# tex_crossover.py, v5e, cornell 800x800 d8) found NO crossover to
+# the fused-plane fallback anywhere in reach — XLA:TPU element
+# gathers at wavefront scale run the fallback at 539-2374 ms/iter
+# textured, while in-kernel measures 12.8 ms (128^2), 38.6 ms
+# (256^2), 48.9 ms (128^2+bump), 181 ms (256^2+bump).  The cap is
+# therefore set by compile time and absolute cost, not a crossover:
+# 65,536 texels = 128 word-rows unrolled per tap = ~93 s cold
+# compile at the bump-heavy worst case.  Beyond the caps the scene
+# falls back to the fused-plane XLA engine (HBM tables, native
+# gather, any size — slow but unbounded; keep CLI --chunk small
+# there: single >2 min device calls trip the TPU worker watchdog).
+KTEX_MAX_SIDE = 256
+KTEX_MAX_TEXELS = 65536  # e.g. one 256x256 map, or four 128x128
 
 
 def _tex_used(scene):
@@ -2143,7 +2231,10 @@ def _tex_used(scene):
 def _tex_in_kernel(scene, used=None):
     """Static: can the megakernel run this scene's image textures
     (albedo TEXTURE and BUMPTEX height maps)?  Up to KTEX_MAX_SIDE per
-    map / KTEX_MAX_TEXELS total across the referenced set, and every
+    map / KTEX_MAX_TEXELS total across the referenced set (set by
+    measured compile time + absolute fetch cost; the round-4 HW sweep
+    found in-kernel beats the fused-plane fallback at EVERY size that
+    compiles — see the cap comment above), and every
     texel on the u8 grid (the in-kernel tables are u8-packed i32
     words, exact only for u8-sourced textures — scene/textures.py
     loads all images that way; a hand-built f32 texture off the grid
@@ -2215,17 +2306,16 @@ def _btex_spec(scene):
 
 
 def _pack_textures(scene, used, packed=False):
-    """(texr, texg, texb): per-channel flat texture tables,
-    lane-replicated (every lane holds the same flat texture) so
-    :func:`_tex_fetch`'s sublane gather addresses any texel from any
-    lane.  ``used`` is the STATIC table order from :func:`_tex_used`
-    (this runs under jit on traced scenes).  Tables are padded to at
-    least SUB rows so the gather's [:SUB] slice is always valid (a
-    lone 4x4 texture is only 16 texels).
+    """(texr, texg, texb): per-channel flat texture tables.  ``used``
+    is the STATIC table order from :func:`_tex_used` (this runs under
+    jit on traced scenes).
 
-    ``packed=False`` (the XLA engines): lane-replicated (HWtot, LANES)
-    f32 — plain differentiable values, texel gradients flow through
-    the gather.
+    ``packed=False`` (the XLA engines): (HWtot, 1) f32 — plain
+    differentiable values, texel gradients flow through the gather.
+    NOT lane-replicated: ``take_along_axis`` broadcasts the non-axis
+    dim against the (SUB, LANES) index, so replicating to 128 lanes
+    would only multiply HBM footprint 128x (a 2048x2048 map would
+    cost 6.4 GB instead of 50 MB — the round-3 advisor finding).
     ``packed=True`` (the megakernel): (n_rows, LANES) i32, four u8
     texels per word, words row-major 128 to a row (no lane
     replication) — the only layout whose fetch Mosaic can lower (see
@@ -2246,7 +2336,7 @@ def _pack_textures(scene, used, packed=False):
             ).reshape(n4, 4)
             words = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
                      | (q[:, 3] << 24))
-            n_rows = (words.shape[0] + LANES - 1) // LANES
+            n_rows = -(-words.shape[0] // LANES)
             words = jnp.concatenate([
                 words,
                 jnp.zeros((n_rows * LANES - words.shape[0],),
@@ -2254,12 +2344,7 @@ def _pack_textures(scene, used, packed=False):
             ])
             outs.append(words.reshape(n_rows, LANES))
             continue
-        if flat.shape[0] < SUB:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((SUB - flat.shape[0],), flat.dtype)]
-            )
-        outs.append(jnp.broadcast_to(flat[:, None],
-                                     (flat.shape[0], LANES)))
+        outs.append(flat[:, None])
     return tuple(outs)
 
 
@@ -2893,7 +2978,8 @@ def _vjp_kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 
     Spec anchor: the transpose of the reference's specified per-depth
     loop, src/pathtrace.cu:135-158; BASELINE.json north star (backward
-    Pallas kernels, grad psum overlap handled in parallel/shard.py).
+    Pallas kernels; the grad psum in parallel/shard.py is synchronous
+    and latency-bound at KB scale — AOT-verified, tools/aot_overlap.py).
     """
     nee = bool(nee_lights)
     rest = list(rest)
@@ -3159,6 +3245,13 @@ def _render_vjp_jit(scene, params, ct, it0, n_spp, interpret, features,
     )
     rad = outs[0]
     (param_grads,) = pack_vjp(tuple(outs[1:]))
+    if scene.mesh.count:
+        # carry mode excludes tri_verts (the winner gather's transpose
+        # is a scatter Mosaic cannot lower) — mark the exclusion as
+        # None rather than returning an exact-zero array a training
+        # loop could mistake for a true gradient (round-3 advisor).
+        # tri_verts gradients: render.diff engine='planes' (bvh_grad).
+        param_grads = dict(param_grads, tri_verts=None)
     return rad, param_grads
 
 
@@ -3179,7 +3272,9 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     straight-line math, so the whole sweep lowers on Mosaic):
     TRS/camera/material/NEE gradients in-kernel; ``tri_verts``
     gradients are the one exclusion (the winner gather's transpose is
-    a scatter-add Mosaic cannot lower) — those ride the planes engine
+    a scatter-add Mosaic cannot lower) — the returned dict carries
+    ``tri_verts=None`` (NOT zeros) so callers cannot mistake the
+    exclusion for a true zero gradient; those ride the planes engine
     (render.diff engine='planes', bvh_grad).  Image-textured scenes
     fall back to render.diff.render_loss_and_grad (same scatter limit
     on texel gradients).
@@ -3195,7 +3290,11 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
     if has_tex:
         raise NotImplementedError(
             "render_vjp_pallas: textured scenes use "
-            "render.diff.render_loss_and_grad (XLA autodiff)"
+            "render.diff.render_loss_and_grad(engine='planes') — "
+            "measured cost of the exclusion: 3.46 s/grad-iter at "
+            "textured 800x800 d8 vs 146.5 ms for this sweep "
+            "(BENCHMARKS.md 'Gradients'; the texel-gather transpose "
+            "is a scatter Mosaic cannot lower)"
         )
     if scene.mesh.count and not scene.mesh.bvh_meta:
         raise NotImplementedError(

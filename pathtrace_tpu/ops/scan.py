@@ -69,47 +69,79 @@ def _scan_kernel(x_ref, out_ref, carry_ref, *, n_rows):
     carry_ref[0] = carry_ref[0] + jnp.sum(x)
 
 
+@functools.lru_cache(maxsize=None)
+def _prefix_sum_impl(interpret):
+    """Build the (cached-per-interpret-mode) scan implementation.
+
+    ``sequential_vmap``: under ``jax.vmap`` (the integrator batches
+    iterations over the sample axis, integrator.render_batch) the
+    default pallas batching rule prepends a grid axis, which turns the
+    SMEM carry output into a (B, 1) block that Mosaic's TPU lowering
+    rejects ("last two dims divisible by 8 and 128") — found by driving
+    ``compaction='sort'`` with a batched chunk on the real chip
+    (interpret mode enforces no divisibility, so CPU tests passed).
+    Mapping the batch dim sequentially keeps the kernel exactly as
+    compiled for the unbatched case; the sort wavefront is the
+    documented ~460x-slower mode, so a sequential sample loop costs
+    nothing that matters."""
+
+    @jax.custom_batching.sequential_vmap
+    def impl(x):
+        n = x.shape[0]
+        n_tiles = pl.cdiv(n, TILE)
+        pad = n_tiles * TILE - n
+        xf = jnp.concatenate(
+            [x.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        ).reshape(n_tiles * SUB, LANES)
+        out, _ = pl.pallas_call(
+            functools.partial(_scan_kernel, n_rows=n_tiles * SUB),
+            grid_spec=pl.GridSpec(
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=(
+                    pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles * SUB, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+            ),
+            interpret=interpret,
+        )(xf)
+        return out.reshape(-1)[:n]
+
+    return impl
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def prefix_sum_pallas(x, interpret=False):
     """Exclusive prefix sum of a 1-D array (any real dtype; summed in
     f32 — exact for 0/1 masks and counts < 2^24).  Returns f32 (N,)."""
-    n = x.shape[0]
-    n_tiles = pl.cdiv(n, TILE)
-    pad = n_tiles * TILE - n
-    xf = jnp.concatenate(
-        [x.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
-    ).reshape(n_tiles * SUB, LANES)
-    out, _ = pl.pallas_call(
-        functools.partial(_scan_kernel, n_rows=n_tiles * SUB),
-        grid_spec=pl.GridSpec(
-            grid=(n_tiles,),
-            in_specs=[pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=(
-                pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
-        ),
-        interpret=interpret,
-    )(xf)
-    return out.reshape(-1)[:n]
+    return _prefix_sum_impl(bool(interpret))(x)
 
 
-def partition_maps(mask, interpret=False):
-    """Both directions of the stable partition, from one scan pass:
-    ``slot`` (N,) int32 — each source index's destination (live-first,
-    order-preserving; the GPU recipe's scatter addresses), ``perm``
-    (N,) int32 — each destination's source (``x[perm]`` densifies; the
-    TPU-friendly gather form), and the live count.  ``slot`` is the
-    inverse permutation of ``perm``; the split engine uses ``slot`` to
-    read a pixel's lane back out of the compacted order with a gather
-    instead of scattering radiance by pixel id (TPU scatters
-    serialize; gathers do not)."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compact_indices(mask, interpret=False):
+    """Stable-partition permutation from a live mask: ``perm`` (N,)
+    int32 with live indices (in order) first, dead after, plus the
+    live count.  ``x[perm]`` is the densified array — identical to
+    ``argsort(~mask, stable)`` and to GPU scan-compact order.
+
+    Internally this is the GPU recipe's two halves: the scan gives
+    each source index its destination ``slot`` (live-first,
+    order-preserving — the Gems 3 scatter addresses), and one scatter
+    of ``arange`` at ``slot`` inverts that into the gather
+    permutation — callers then densify by *gather*, the form the TPU
+    vector core is fast at (scatters serialize; gathers do not).
+    Note the split engine does NOT use this: it re-densifies at tile
+    granularity via scalar-prefetched block index maps
+    (megakernel.pathtrace_batch_split); lane-granular compaction at
+    wavefront size measured ~100x the cost of what it saves
+    (BENCHMARKS.md "Split engine")."""
     m = mask.astype(jnp.float32)
     n = mask.shape[0]
     pos_live = prefix_sum_pallas(m, interpret=interpret)
@@ -123,16 +155,6 @@ def partition_maps(mask, interpret=False):
         jnp.arange(n, dtype=jnp.int32), unique_indices=True,
         mode="promise_in_bounds",
     )
-    return slot, perm, n_live
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def compact_indices(mask, interpret=False):
-    """Stable-partition permutation from a live mask: ``perm`` (N,)
-    int32 with live indices (in order) first, dead after, plus the
-    live count.  ``x[perm]`` is the densified array — identical to
-    ``argsort(~mask, stable)`` and to GPU scan-compact order."""
-    _, perm, n_live = partition_maps(mask, interpret=interpret)
     return perm, n_live
 
 

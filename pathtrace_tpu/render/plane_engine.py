@@ -41,11 +41,11 @@ from ..ops.pallas.megakernel import LANES, SUB, TILE
 
 
 def _tex_fetch_direct(tab, flat_idx):
-    """Texel tap via XLA's native gather.  ``mk._tex_fetch`` pads the
-    index to the table height because Mosaic's sublane dynamic-gather
-    needs equal shapes; XLA's gather does not, and padding would
-    materialize an (HWtot, LANES) index per tap under vmap.  Gathers
-    are exact, so output matches ``mk._tex_fetch`` bit-for-bit.
+    """Texel tap via XLA's native gather.  ``tab`` is the unreplicated
+    (HWtot, 1) f32 table (megakernel._pack_textures, packed=False);
+    ``take_along_axis`` broadcasts its width-1 dim against the
+    (SUB, LANES) index.  Gathers are exact, so output matches
+    ``mk._tex_fetch`` bit-for-bit.
 
     No ``stop_gradient`` here: the kernel's is a Mosaic limitation
     (the gather's transpose is a scatter-add Mosaic cannot lower), not
@@ -181,8 +181,27 @@ def pathtrace_batch_planes(scene, it0, n_iters: int, nee=False,
     gradients wherever the detached estimator is) — the fast-gradient
     setting render/diff.py uses.  ``use_bvh=False`` is the legacy
     O(T) linear scan-fold (differentiable but ~BVH-speedup slower);
-    kept as the oracle the bvh_grad tests compare against."""
+    kept as the oracle the bvh_grad tests compare against.  Caveat:
+    the legacy fold does NOT carry per-triangle UV tangent frames, so
+    mesh BUMPTEX is inert on it (flat shading) while the BVH paths
+    apply it — oracle comparisons must skip mesh-bump scenes (warned
+    at call time)."""
     tg, tu, bg = _tex_statics_planes(scene)
+    if not use_bvh and bg and scene.mesh.count:
+        from ..core.types import MESH
+
+        mesh_bump = any(
+            b[0] >= 0 and scene.geoms.type[g] == MESH
+            for g, b in enumerate(bg)
+        )
+        if mesh_bump:
+            print(
+                "[pathtrace_tpu] WARNING: use_bvh=False (legacy linear "
+                "fold) ignores mesh BUMPTEX charts — this render will "
+                "diverge from the BVH/kernel engines on mesh-bump "
+                "scenes",
+                flush=True,
+            )
     return _batch_jit_planes(
         scene, it0, n_iters, mk._scene_features(scene), nee, rr,
         tg, tu, bg, use_bvh=use_bvh, bvh_grad=bvh_grad,

@@ -14,15 +14,13 @@ repo's existing CHECKER/BUMP lines:
 Paths resolve relative to the scene file.  Textures are decoded with
 PIL, converted to float32 in [0,1] (no gamma transform — the reference
 samples stb's raw 8-bit values; document-and-preserve), deduplicated by
-absolute path, and **downsampled to at most 128x128** at load.  The
-Pallas megakernel runs albedo textures in-kernel up to **64x64**
-(megakernel.KTEX_MAX_SIDE): each used texture is flattened and
-lane-replicated to an (H*W, 128) f32 VMEM table per channel, because
-the only gather Mosaic lowers is the equal-shape sublane
-``take_along_axis`` (tpu.dynamic_gather) — 2 MB/channel at 64x64.
-Larger albedo maps and all BUMPTEX maps fall back to the XLA engine.
-Both engines sample identical tables, so engine parity holds wherever
-the kernel path is eligible.
+absolute path, and downsampled only past the MAX_TEX_SIDE safety clamp.
+The Pallas megakernel samples textures in-kernel from u8-packed i32
+word tables up to megakernel.KTEX_MAX_SIDE / KTEX_MAX_TEXELS; larger
+maps run on the fused-plane XLA engine from unreplicated (H*W, 1) f32
+HBM tables (megakernel._pack_textures) at full size.  Both engines
+sample the same texel values, so engine parity holds wherever the
+kernel path is eligible (tests/test_textures.py::TestPallasInKernel).
 
 Sampling is bilinear with repeat wrapping in normalized (u,v)
 ([0,1) maps across the image; v=0 is row 0).  ``sample_texture`` is

@@ -66,6 +66,48 @@ def cornell_small(cornell_scene):
     )
 
 
+# ---------------------------------------------------------------------------
+# test tiers (VERDICT r3 item 7): `make test` runs the fast tier
+# (-m "not slow", <5 min — parser/oracle/math/gradient regressions);
+# `make test-full` runs everything.  The heavy modules — interpret-mode
+# Pallas kernels, AOT v5e compiles, the 2-process distributed test,
+# example smoke runs — are auto-marked slow here by module name so new
+# tests in them inherit the tier without per-test bookkeeping.
+SLOW_MODULES = {
+    # measured per-module wall (round-4 quiet box, s):
+    "test_parallel",       # 954 — shard_map interpret-kernel programs
+    "test_planes",         # 429 — bvh_grad FD + fused-plane engine
+    "test_vjp_kernel",     # 183 — interpret in-kernel reverse sweep
+    "test_sss",            # 126 — interpret SSS kernel parity
+    "test_textures",       # 120 — interpret textured kernels
+    "test_examples",       # ~200 — example smoke runs (interpret)
+    "test_grad_kernel",    # 86 — interpret analytic grad kernel
+    "test_nee",            # 85 — interpret NEE kernels + FD grads
+    "test_split",          # 63 — interpret split-engine spans
+    "test_mosaic_compile", # 40 — AOT v5e compiles (libtpu)
+    "test_pallas",         # 38 — interpret megakernel parity
+}
+# fast tier (everything else): ~4.5 min measured — parser, oracle,
+# intersect/bsdf/vecmath/rng closed-form tests, wavefront autodiff
+# (test_diff), goldens, bvh build, distributed bring-up.
+
+
+# cheap pure-function tests inside otherwise-slow modules that the
+# fast tier should keep (direct oracles on primitives)
+FAST_EXCEPTIONS = (
+    "test_tex_fetch_exact",      # texture-fetch direct oracle
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(name in item.nodeid for name in FAST_EXCEPTIONS):
+            continue
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if mod.removesuffix(".py") in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Free compiled executables between test modules.

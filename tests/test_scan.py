@@ -60,3 +60,24 @@ def test_matches_argsort_order():
     perm, _ = compact_indices(jnp.asarray(mask), interpret=True)
     ref = np.argsort(~mask, kind="stable")
     np.testing.assert_array_equal(np.asarray(perm), ref)
+
+
+def test_vmapped_scan_is_per_row():
+    """vmap(prefix_sum_pallas) must scan each batch row independently.
+    Regression for the hardware-only lowering failure: pallas's default
+    batching rule turns the SMEM carry into a (B, 1) block Mosaic
+    rejects ("last two dims divisible by 8 and 128"), hit when the
+    integrator's sort mode runs under the iteration vmap
+    (render_batch) on the real chip — scan.py now sequential_vmaps the
+    kernel so the batched program is B copies of the unbatched one."""
+    import jax
+
+    from pathtrace_tpu.ops.scan import prefix_sum_pallas
+
+    r = np.random.RandomState(7)
+    x = (r.rand(3, 2048) < 0.4).astype(np.float32)
+    out = jax.vmap(
+        lambda row: prefix_sum_pallas(row, interpret=True)
+    )(jnp.asarray(x))
+    ref = np.cumsum(x, axis=1) - x
+    np.testing.assert_array_equal(np.asarray(out), ref.astype(np.float32))

@@ -324,8 +324,9 @@ SCALE       2.5 2.5 2.5
         BVH 'carry' traversal (VERDICT r2 #2): the while_loop stays
         primal-only, the winner recompute is differentiable, and
         TRS/camera/material grads match the wavefront autodiff.
-        tri_verts grads are the documented exclusion (zero here; the
-        planes engine carries them — tests/test_planes.TestBvhGrad)."""
+        tri_verts grads are the documented exclusion (None here, not
+        a silent zero an optimizer could consume — round-3 advisor;
+        the planes engine carries them — tests/test_planes.TestBvhGrad)."""
         scene = pt.parse_scene(self.MESH_RIG)
         assert scene.mesh.count and scene.mesh.bvh_meta
         ct = _masked_ct(scene, nee=True)
@@ -339,7 +340,7 @@ SCALE       2.5 2.5 2.5
         _assert_close(g["camera"].view, gref["camera"].view)
         for leaf in jax.tree.leaves(g):
             assert np.isfinite(np.asarray(leaf)).all()
-        assert np.abs(np.asarray(g["tri_verts"])).max() == 0
+        assert g["tri_verts"] is None
 
     def test_mesh_without_bvh_rejected(self):
         scene = pt.load_scene("scenes/cornell_mesh.txt")

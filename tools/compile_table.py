@@ -66,6 +66,13 @@ def main() -> int:
               mk._batch_jit.lower(sc, 1, 8, False, False, feats,
                                   False, False, tg, tu, bg))
 
+    # ---- forward megakernel with NEE (the direct-lighting estimator)
+    sc = scene_at("cornell")
+    feats = mk._scene_features(sc)
+    timed("fwd megakernel  cornell 800x800 d8 NEE",
+          lambda sc=sc, feats=feats:
+          mk._batch_jit.lower(sc, 1, 8, False, False, feats, True))
+
     # ---- split engine (cornell + sphere)
     for name, k in (("cornell", 3), ("sphere", 1)):
         sc = scene_at(name)
