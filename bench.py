@@ -112,6 +112,11 @@ def main():
         try:
             with open(prior[-1]) as f:
                 last = json.load(f)
+            # the driver wraps the bench line as {"n":.., "parsed":
+            # {...}} — unwrap it (this miss is why vs_baseline printed
+            # 1.0 for three rounds straight)
+            if "parsed" in last and isinstance(last["parsed"], dict):
+                last = last["parsed"]
             if last.get("value"):
                 vs = round(mrays / float(last["value"]), 3)
         except Exception:
