@@ -48,10 +48,23 @@ from ...core.constants import (
 )
 from ...core.rng import Draw
 from ...render.integrator import camera_basis, geom_transforms
+from ...scene.bvh import LEAF_K
 
 SUB = 32          # sublane rows per tile
 LANES = 128
 TILE = SUB * LANES  # rays per tile (4096)
+
+# HBM mesh streaming (round 4 — the VMEM mesh ceiling named in
+# BENCHMARKS.md "Mesh scenes"): when the lane-padded triangle + BVH
+# node tables exceed MESH_STREAM_BYTES, they stay in HBM
+# (memory_space=ANY) and the traversal DMAs them on demand — LEAF_K
+# triangle rows per leaf visit into a VMEM scratch, and a
+# NODE_WINDOW-row forward cache for the skip-link node walk (DFS
+# layout: the cursor only moves to n+1 or a forward skip link, so a
+# window refilled AT the cursor has high hit rate).  Below the budget
+# the resident path is untouched.
+NODE_WINDOW = 64
+MESH_STREAM_BYTES = 64 * 1024 * 1024
 
 
 # ----------------------------------------------------------------------------
@@ -258,7 +271,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  pix_u=None, fx=None, fy=None, valid=None,
                  nodes=None, bvh_meta=(), rr_mode=False,
                  tex_geom=(), btex_geom=(), texr=None, texg=None,
-                 texb=None, tex_fetch=None, bvh_grad=False):
+                 texb=None, tex_fetch=None, bvh_grad=False,
+                 stream=None):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -1123,6 +1137,103 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         best["qy"] = prev["qy"]
                         best["qz"] = prev["qz"]
                     return best, tt, hit
+
+                if stream is not None and not bvh_grad:
+                    # ---- HBM-streaming traversal (round 4) ----
+                    # tri_ref / nodes_ref are HBM (ANY) refs; node rows
+                    # read through a NODE_WINDOW forward cache refilled
+                    # at the cursor on miss, leaf triangles DMA'd
+                    # LEAF_K rows per visited leaf.  Same fold math and
+                    # winner semantics as the resident path below.
+                    tri_leaf, node_win, sem_t, sem_n = stream
+
+                    def leaf_body_s(j, carry, *,
+                                    mt_shade_fold=mt_shade_fold,
+                                    tri_leaf=tri_leaf):
+                        best, t_loc = carry
+                        tm = lambda k: tri_leaf[j, k]
+                        best, tt, hit = mt_shade_fold(tm, best)
+                        t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
+                        return best, t_loc
+
+                    def trav_body_s(carry, *, rox=rox, roy=roy, roz=roz,
+                                    irdx=irdx, irdy=irdy, irdz=irdz,
+                                    slab=slab, leaf_body_s=leaf_body_s,
+                                    node_off=node_off, tri_off=tri_off,
+                                    tri_leaf=tri_leaf,
+                                    node_win=node_win,
+                                    sem_t=sem_t, sem_n=sem_n):
+                        n, wb, best, t_loc = carry
+                        # wb = ALIGNED global row base of the cached
+                        # window.  DMA bases must sit on (8,128) f32
+                        # tile rows — an unaligned sublane start reads
+                        # the wrong rows, and a garbage skip link spins
+                        # the walk forever (found the hard way: the
+                        # first unaligned build wedged the TPU worker)
+                        gn = node_off + n
+                        need = (gn < wb) | (gn >= wb + NODE_WINDOW)
+                        wb2 = jnp.where(need, gn & ~7, wb)
+
+                        @pl.when(need)
+                        def _refill():
+                            cp = pltpu.make_async_copy(
+                                nodes_ref.at[
+                                    pl.ds(wb2, NODE_WINDOW)
+                                ],
+                                node_win, sem_n,
+                            )
+                            cp.start()
+                            cp.wait()
+
+                        nm = lambda k: node_win[gn - wb2, k]
+                        tax, tbx = slab(nm(0), nm(3), rox, irdx)
+                        tay, tby = slab(nm(1), nm(4), roy, irdy)
+                        taz, tbz = slab(nm(2), nm(5), roz, irdz)
+                        tnear = jnp.maximum(
+                            jnp.maximum(tax, tay),
+                            jnp.maximum(taz, jnp.float32(0.0)),
+                        )
+                        tfar = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+                        lane_hit = (tnear <= tfar) & (tnear < t_loc)
+                        if live is not None:
+                            lane_hit = lane_hit & (live > 0.0)
+                        any_hit = jnp.any(lane_hit)
+                        skip = nm(6).astype(jnp.int32)
+                        start = nm(7).astype(jnp.int32)
+                        count = nm(8).astype(jnp.int32)
+                        is_leaf = count > 0
+                        fetch = any_hit & is_leaf
+                        # leaf rows [gstart, gstart+count) live inside
+                        # the 2-tile (16-row) aligned slab at ga
+                        gstart = tri_off + start
+                        ga = gstart & ~7
+
+                        @pl.when(fetch)
+                        def _fetch_leaf():
+                            cp = pltpu.make_async_copy(
+                                tri_ref.at[pl.ds(ga, 2 * LEAF_K)],
+                                tri_leaf, sem_t,
+                            )
+                            cp.start()
+                            cp.wait()
+
+                        # fori over the leaf's rows inside the slab on
+                        # fetch, empty range otherwise — replaces the
+                        # resident path's lax.cond(do_leaf)
+                        lo = gstart - ga
+                        best, t_loc = jax.lax.fori_loop(
+                            lo, lo + jnp.where(fetch, count, 0),
+                            leaf_body_s, (best, t_loc),
+                        )
+                        nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
+                        return nxt, wb2, best, t_loc
+
+                    _, _, best, _ = jax.lax.while_loop(
+                        lambda c: c[0] < n_nodes_g, trav_body_s,
+                        (jnp.int32(0), jnp.int32(-2 * NODE_WINDOW),
+                         best, t0),
+                    )
+                    continue
 
                 def leaf_body(sl, carry, *, mt_shade_fold=mt_shade_fold):
                     best, t_loc = carry
@@ -2017,7 +2128,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
             features=(True,) * 7, nee_lights=(), grad_mats=(),
             early_exit=False, bvh_meta=(), rr_mode=False, tex_geom=(),
-            btex_geom=()):
+            btex_geom=(), stream_mesh=False):
     """One ray tile, full trace.
 
     it_ref: (1,2) SMEM int32 — [iteration, pixel offset].
@@ -2052,6 +2163,16 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
     rest = list(rest)
+    if stream_mesh:
+        # scratch refs trail the outputs (pallas scratch_shapes order:
+        # tri_leaf, node_win, sem_t, sem_n)
+        sem_n = rest.pop()
+        sem_t = rest.pop()
+        node_win = rest.pop()
+        tri_leaf = rest.pop()
+        stream_refs = (tri_leaf, node_win, sem_t, sem_n)
+    else:
+        stream_refs = None
     tri_ref = rest.pop(0) if n_tris else None
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
@@ -2091,7 +2212,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         grad_mats=grad_mats, early_exit=early_exit, pix_u=pix_u,
         fx=fx, fy=fy, valid=valid, nodes=nodes_ref, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
-        texr=texr_v, texg=texg_v, texb=texb_v,
+        texr=texr_v, texg=texg_v, texb=texb_v, stream=stream_refs,
     )
 
     def one_sample(sidx, acc):
@@ -2547,13 +2668,14 @@ def _pack_scene(scene, tex_geom=(), btex_geom=()):
                                              "grad_mats", "bvh_meta",
                                              "rr_mode", "tex_geom",
                                              "btex_geom",
-                                             "local_pixels"))
+                                             "local_pixels",
+                                             "stream_mesh"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
          features=(True,) * 7, nee_lights=(), grad_mats=(),
          mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False,
          tex_geom=(), btex_geom=(), texs=None, pix0=None,
-         local_pixels=None):
+         local_pixels=None, stream_mesh=None):
     width, height = resolution
     n_pixels = width * height
     # pixel-sharded rendering: this call covers local_pixels pixels
@@ -2569,6 +2691,34 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     tables_mode = tex_mode or btex_mode
     assert not (tables_mode and grad_mode)
 
+    # mesh streaming: lane-padded tri+node tables past the VMEM budget
+    # move to HBM and the traversal DMAs them (module docstring at
+    # NODE_WINDOW).  Shapes are static under jit, so this is a
+    # trace-time decision; stream_mesh=True/False overrides (tests).
+    table_rows = (n_tris + (nodes.shape[0] if nodes is not None else 0))
+    over_budget = bool(bvh_meta) and \
+        table_rows * LANES * 4 > MESH_STREAM_BYTES
+    if stream_mesh is None:
+        stream_mesh = over_budget and not grad_mode
+    if grad_mode and over_budget:
+        raise NotImplementedError(
+            f"mesh tables ({table_rows} rows ~"
+            f"{table_rows * LANES * 4 // 2**20} MB lane-padded) exceed "
+            "the VMEM budget for the in-kernel gradient path; use the "
+            "planes engine (render.diff engine='planes', bvh_grad) — "
+            "it reads tri/node tables from HBM natively"
+        )
+    if stream_mesh:
+        assert bvh_meta, "mesh streaming requires the BVH engine"
+        # pad to full 128-lane rows (tile-aligned DMA slabs) and by a
+        # window/leaf block so the forward cache never reads past the
+        # array on the last geom's tail
+        tri = jnp.pad(tri,
+                      ((0, 2 * LEAF_K), (0, LANES - tri.shape[1])))
+        nodes = jnp.pad(
+            nodes, ((0, NODE_WINDOW), (0, LANES - nodes.shape[1]))
+        )
+
     kernel = functools.partial(
         _kernel, geom_types=geom_types, width=width, height=height,
         depth=trace_depth, n_pixels=n_pixels, n_tris=n_tris,
@@ -2576,6 +2726,7 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         grad_mats=grad_mats, early_exit=early_exit, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom if tex_mode else (),
         btex_geom=btex_geom if btex_mode else (),
+        stream_mesh=stream_mesh,
     )
     tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
@@ -2585,10 +2736,11 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # mats
         pl.BlockSpec(memory_space=pltpu.VMEM),   # gmat
     ]
+    mesh_space = pl.ANY if stream_mesh else pltpu.VMEM
     if n_tris:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # tri
+        in_specs.append(pl.BlockSpec(memory_space=mesh_space))  # tri
         if bvh_meta:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(memory_space=mesh_space))
     if nee_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
     if tables_mode:
@@ -2611,9 +2763,14 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         out_shape.append(
             jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
         )
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,), in_specs=in_specs, out_specs=tuple(out_specs)
-    )
+    scratch = ()
+    if stream_mesh:
+        scratch = (
+            pltpu.VMEM((2 * LEAF_K, LANES), jnp.float32),   # tri_leaf
+            pltpu.VMEM((NODE_WINDOW, LANES), jnp.float32),  # node_win
+            pltpu.SemaphoreType.DMA,                        # sem_t
+            pltpu.SemaphoreType.DMA,                        # sem_n
+        )
     p0 = jnp.asarray(0 if pix0 is None else pix0, jnp.int32)
     scal = jnp.stack(
         [jnp.asarray(it, jnp.int32).reshape(()), p0.reshape(())]
@@ -2632,13 +2789,18 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         args += list(ct)
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         out_shape=tuple(out_shape),
         interpret=interpret,
         # large meshes: the (T,16) tri table + BVH nodes are VMEM-
         # resident (lane-padded to 128), so a 100k-tri scene holds
         # ~60MB of tables — far above the 16MB default scoped limit
-        # but within the chip's physical VMEM
+        # but within the chip's physical VMEM.  Past MESH_STREAM_BYTES
+        # they move to HBM and stream (see above); the limit stays for
+        # the resident tiers.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
@@ -2795,7 +2957,8 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
 
 
 def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
-                           early_exit=False, nee=False, rr=False):
+                           early_exit=False, nee=False, rr=False,
+                           stream=None):
     """``n_iters`` samples/pixel in ONE kernel launch: the spp loop runs
     *inside* the megakernel, so per-sample radiance never touches HBM —
     one accumulated writeback per call.  Returns
@@ -2812,7 +2975,7 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     tg, tu, bg = _tex_statics(scene)
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
-        _scene_features(scene), nee, rr, tg, tu, bg,
+        _scene_features(scene), nee, rr, tg, tu, bg, stream=stream,
     )
 
 
@@ -2820,10 +2983,10 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
                                              "early_exit", "features",
                                              "nee", "rr", "tex_geom",
                                              "tex_used", "btex_geom",
-                                             "local_pixels"))
+                                             "local_pixels", "stream"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
                nee=False, rr=False, tex_geom=(), tex_used=(),
-               btex_geom=(), pix0=None, local_pixels=None):
+               btex_geom=(), pix0=None, local_pixels=None, stream=None):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom, btex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
@@ -2837,7 +3000,7 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
         features, nee_lights, nodes=nodes,
         bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
         btex_geom=btex_geom, texs=texs, pix0=pix0,
-        local_pixels=local_pixels,
+        local_pixels=local_pixels, stream_mesh=stream,
     )
     return rad, counts
 
@@ -3302,6 +3465,18 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
             "builds one at load); the legacy linear fold's transpose "
             "is a scan Mosaic cannot lower"
         )
+    if scene.mesh.count and scene.mesh.bvh_meta:
+        rows = int(scene.mesh.tri_verts.shape[0]) \
+            + int(np.asarray(scene.mesh.bvh_nodes).shape[0])
+        if rows * LANES * 4 > MESH_STREAM_BYTES:
+            raise NotImplementedError(
+                f"render_vjp_pallas: mesh tables ({rows} rows, "
+                f"~{rows * LANES * 4 // 2**20} MB lane-padded) exceed "
+                "the VMEM budget; the reverse sweep needs them "
+                "resident.  Use the planes engine (render.diff "
+                "engine='planes', bvh_grad) — it reads the tables "
+                "from HBM natively"
+            )
     params = split_params(scene)
     # static light structure in pure python — calling _pack_lights here
     # would run its ~30 packing ops eagerly (one tunnel round-trip each)
@@ -3654,6 +3829,16 @@ def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
 
         return pathtrace_batch_planes(scene, it0, n_iters, nee=nee,
                                       rr=rr)
+    if scene.mesh.count and scene.mesh.bvh_meta:
+        rows = int(scene.mesh.tri_verts.shape[0]) \
+            + int(np.asarray(scene.mesh.bvh_nodes).shape[0])
+        if rows * LANES * 4 > MESH_STREAM_BYTES:
+            # over-budget meshes: the split engine keeps its tables
+            # resident; route to the monolithic engine, whose
+            # streaming path handles any size
+            return pathtrace_batch_pallas(scene, it0, n_iters,
+                                          interpret=interpret,
+                                          nee=nee, rr=rr)
     depth = int(scene.trace_depth)
     split = max(1, min(int(split), depth - 1)) if depth > 1 else 0
     if split == 0:
