@@ -30,6 +30,36 @@ import time
 import numpy as np
 
 
+def read_prior(bench_dir):
+    """Read the newest BENCH_r*.json in ``bench_dir``.
+
+    Returns (last: dict, warning: str|None).  ``last`` is the
+    unwrapped bench record ({} on failure); ``warning`` is a loud
+    message whenever a prior file EXISTS but no value parsed — the
+    exact artifact bug (driver {parsed: ...} envelope, fbf2498) that
+    made vs_baseline print 1.0 for three rounds (VERDICT r4 weak #5).
+    """
+    prior = sorted(glob.glob(os.path.join(bench_dir, "BENCH_r*.json")))
+    if not prior:
+        return {}, None
+    last = {}
+    try:
+        with open(prior[-1]) as f:
+            last = json.load(f)
+        # the driver wraps the bench line as {"n":.., "parsed": {...}}
+        if "parsed" in last and isinstance(last["parsed"], dict):
+            last = last["parsed"]
+    except Exception:
+        last = {}
+    if not last.get("value"):
+        return {}, (
+            f"bench: WARNING — {prior[-1]} exists but no prior value "
+            "could be parsed from it; vs_baseline=1.0 would be an "
+            "artifact of the failed read, not a measurement"
+        )
+    return last, None
+
+
 def main():
     spp = int(os.environ.get("PT_BENCH_SPP", "4000"))
     chunk = int(os.environ.get("PT_BENCH_CHUNK", "500"))
@@ -104,23 +134,11 @@ def main():
     mrays = segs_per_chunk * n_chunks / dt / 1e6
 
     vs = 1.0
-    last = {}
-    prior = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
-    )))
-    if prior:
-        try:
-            with open(prior[-1]) as f:
-                last = json.load(f)
-            # the driver wraps the bench line as {"n":.., "parsed":
-            # {...}} — unwrap it (this miss is why vs_baseline printed
-            # 1.0 for three rounds straight)
-            if "parsed" in last and isinstance(last["parsed"], dict):
-                last = last["parsed"]
-            if last.get("value"):
-                vs = round(mrays / float(last["value"]), 3)
-        except Exception:
-            last = {}
+    last, warning = read_prior(os.path.dirname(os.path.abspath(__file__)))
+    if warning:
+        print(warning, file=sys.stderr)
+    if last.get("value"):
+        vs = round(mrays / float(last["value"]), 3)
 
     secondary = []
     if os.environ.get("PT_BENCH_SECONDARY", "1") != "0" \

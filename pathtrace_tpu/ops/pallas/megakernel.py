@@ -65,6 +65,11 @@ TILE = SUB * LANES  # rays per tile (4096)
 # the resident path is untouched.
 NODE_WINDOW = 64
 MESH_STREAM_BYTES = 64 * 1024 * 1024
+# The streamed leaf slab is 2*LEAF_K rows starting at the &~7-aligned
+# base, so a leaf fits only if lo (<=7, the alignment remainder) plus
+# count (<=LEAF_K) stays inside it — lowering LEAF_K below 7 in
+# scene/bvh.py would silently read triangles outside the slab.
+assert 7 + LEAF_K <= 2 * LEAF_K, "streamed leaf slab needs LEAF_K >= 7"
 
 
 # ----------------------------------------------------------------------------
@@ -2327,6 +2332,25 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 KTEX_MAX_SIDE = 256
 KTEX_MAX_TEXELS = 65536  # e.g. one 256x256 map, or four 128x128
 
+# Round 5: ABOVE the resident caps the tables move to HBM
+# (memory_space=ANY) and the fetch switches from the unrolled row
+# sweep to a need-driven slab-serving while_loop (_make_tracer
+# fetch3): each iteration DMAs the 8-row aligned slab holding the
+# MINIMUM still-unserved word-row of the tile's taps (the mesh-
+# streaming DMA pattern at NODE_WINDOW) and serves every tap that
+# lands in it.  Compile time stops scaling with texel count (one
+# traced loop body) and fetch cost scales with the number of DISTINCT
+# 8-row slabs the tile's taps actually touch per bounce — tap-
+# coherent bounces visit a handful; the fully-decoherent worst case
+# degrades to the old full sweep's gather count, never worse.  The
+# stream caps below bound the f32-exact chart planes (2^24 texel
+# offsets) and table HBM cost, not the kernel design.
+KTEX_STREAM_MAX_SIDE = 2048
+KTEX_STREAM_TEXELS = 4 * 1024 * 1024   # e.g. one 2048x2048 map
+# resident table rows at the resident cap: 65,536 texels, 4 u8/word,
+# 128 words/row -> 128 rows; larger tables auto-stream
+KTEX_RESIDENT_ROWS = KTEX_MAX_TEXELS // (4 * LANES)
+
 
 def _tex_used(scene):
     """Static: texture ids (albedo AND bump maps) actually referenced
@@ -2363,9 +2387,12 @@ def _tex_in_kernel(scene, used=None):
     used = _tex_used(scene) if used is None else used
     if not used:
         return False
+    # resident caps OR the round-5 streamed caps (HBM tables + slab-
+    # serving fetch — see KTEX_STREAM_TEXELS above); beyond those the
+    # planes engine remains the fallback
     if any(
         max(scene.textures[t].shape[0], scene.textures[t].shape[1])
-        > KTEX_MAX_SIDE
+        > KTEX_STREAM_MAX_SIDE
         for t in used
     ):
         return False
@@ -2373,7 +2400,7 @@ def _tex_in_kernel(scene, used=None):
         int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
         for t in used
     )
-    if total > KTEX_MAX_TEXELS:
+    if total > KTEX_STREAM_TEXELS:
         return False
     for t in used:
         x = np.asarray(scene.textures[t], np.float32)
@@ -2669,13 +2696,14 @@ def _pack_scene(scene, tex_geom=(), btex_geom=()):
                                              "rr_mode", "tex_geom",
                                              "btex_geom",
                                              "local_pixels",
-                                             "stream_mesh"))
+                                             "stream_mesh",
+                                             "stream_tex"))
 def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
          geom_types, interpret=False, early_exit=False, n_spp=1,
          features=(True,) * 7, nee_lights=(), grad_mats=(),
          mtab=None, ct=None, nodes=None, bvh_meta=(), rr_mode=False,
          tex_geom=(), btex_geom=(), texs=None, pix0=None,
-         local_pixels=None, stream_mesh=None):
+         local_pixels=None, stream_mesh=None, stream_tex=None):
     width, height = resolution
     n_pixels = width * height
     # pixel-sharded rendering: this call covers local_pixels pixels
@@ -2690,6 +2718,21 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
     tables_mode = tex_mode or btex_mode
     assert not (tables_mode and grad_mode)
+
+    # texture streaming: tables past the resident row budget stay in
+    # HBM and the fetch slab-serves them (KTEX_STREAM_TEXELS comment).
+    # Shape-static under jit; stream_tex=True/False overrides (tests).
+    if stream_tex is None:
+        stream_tex = bool(
+            tables_mode and texs[0].shape[0] > KTEX_RESIDENT_ROWS
+        )
+    stream_tex = bool(tables_mode and stream_tex)
+    if stream_tex:
+        # pad to whole 8-row slabs so the aligned slab DMA at the last
+        # occupied row never reads past the table
+        texs = tuple(
+            jnp.pad(t, ((0, (-t.shape[0]) % 8), (0, 0))) for t in texs
+        )
 
     # mesh streaming: lane-padded tri+node tables past the VMEM budget
     # move to HBM and the traversal DMAs them (module docstring at
@@ -2726,7 +2769,7 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
         grad_mats=grad_mats, early_exit=early_exit, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom if tex_mode else (),
         btex_geom=btex_geom if btex_mode else (),
-        stream_mesh=stream_mesh,
+        stream_mesh=stream_mesh, stream_tex=stream_tex,
     )
     tile_block = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
@@ -2744,7 +2787,8 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
     if nee_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # lights
     if tables_mode:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3  # tex rgb
+        tex_space = pl.ANY if stream_tex else pltpu.VMEM
+        in_specs += [pl.BlockSpec(memory_space=tex_space)] * 3  # tex rgb
     if grad_mode:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # mtab
         in_specs += [tile_block(), tile_block(), tile_block()]   # ct rgb

@@ -102,7 +102,11 @@ FAST_EXCEPTIONS = (
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if any(name in item.nodeid for name in FAST_EXCEPTIONS):
+        # exact test-name match (item.name includes parametrize ids;
+        # strip them) so e.g. a future slow "test_tex_fetch_exact_big"
+        # doesn't silently ride the fast tier via substring matching
+        base_name = item.name.split("[")[0]
+        if base_name in FAST_EXCEPTIONS:
             continue
         mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
         if mod.removesuffix(".py") in SLOW_MODULES:

@@ -624,11 +624,14 @@ SCALE       2 2 2
         np.testing.assert_array_equal(np.asarray(rk), np.asarray(rp))
 
     def test_256_texture_in_kernel(self, ktex_dir):
-        """Round 4: _tex_fetch sweeps whole (8,128) vregs via the
-        two-level in-vreg gather (sublane then lane — 4096 texels per
-        step, 8x the round-3 word-row sweep), raising the in-kernel
-        ceiling to 256x256 / 65,536 texels at equal per-tap cost
-        (VERDICT r3 item 1).  Bit-parity vs the planes engine."""
+        """Round 4: the in-kernel mechanism is the linear word-row
+        sweep (one masked row select per 128-texel word row, amortized
+        across the four bilinear taps); a two-level sublane-then-lane
+        vreg gather was probed and REJECTED — it gathers the wrong row
+        on TPU (see _tex_fetch_multi's docstring).  The 256x256 /
+        65,536-texel ceiling is the measured compile-time bound of the
+        unrolled sweep, not a gather redesign (VERDICT r3 item 1;
+        BENCHMARKS.md "Texture crossover").  Bit-parity vs planes."""
         from PIL import Image
 
         from pathtrace_tpu.ops.pallas.megakernel import (
