@@ -151,14 +151,20 @@ def main():
         prior_sec = {
             e["metric"]: e for e in last.get("secondary", ())
         }
-        # round-3 values re-measured under THIS harness seed the
-        # ratios the first time (one 500-spp call, forced transfer):
-        # round-3 code scored NEE 4.060 ms/iter here (its 3.96 in
-        # BENCHMARKS.md used time_fn averaging); split sphere 0.390
-        # is the round-3 split-engine number.
+        # prior-round values seed the ratios the first time a metric
+        # appears.  NEE 4.06 / split 0.390: round-3 code re-measured
+        # under this harness (round 4).  tex512 2374.0: what the SAME
+        # scene cost under round-4 code — over the 256^2 resident cap
+        # it routed to the planes fallback, measured 2374 ms/iter for
+        # bump-textured scenes (BENCHMARKS.md "Texture crossover");
+        # round 5's HBM slab-streaming fetch runs it in-kernel.
+        # grad-step 146.5: the round-4 in-kernel reverse sweep
+        # (BENCHMARKS.md "Gradients"), unoptimized since round 3.
         seed = {
             "cornell 800x800 d8 NEE ms/iter": 4.06,
             "sphere 800x800 d8 split ms/iter": 0.390,
+            "cornell_tex512 800x800 d8 ms/iter": 2374.0,
+            "cornell 800x800 d8 NEE grad-step ms": 146.5,
         }
 
         def timed_ms(fn, n):
@@ -174,17 +180,43 @@ def main():
                                              "cornell.txt"))
         sphere = pt.load_scene(os.path.join(here, "scenes",
                                             "sphere.txt"))
+        # streamed-texture config (round 5): cornell_tex with the
+        # deterministic 512^2 pattern asset — 262k texels, far past
+        # the 65,536 resident cap, so this exercises the HBM slab-
+        # serving fetch; fewer iters (it is ~50x the untextured cost)
+        tex_text = open(os.path.join(here, "scenes",
+                                     "cornell_tex.txt")).read()
+        cornell_tex = pt.parse_scene(
+            tex_text.replace("tex/pattern32.png", "tex/pattern512.png"),
+            base_dir=os.path.join(here, "scenes"),
+        )
+
+        def grad_step(i, n):
+            from pathtrace_tpu.ops.pallas.megakernel import (
+                render_vjp_pallas,
+            )
+
+            ct = jnp.ones((cornell.pixel_count, 3), jnp.float32)
+            rad, grads = render_vjp_pallas(cornell, ct, i, 1, nee=True)
+            # fold a grad leaf into the sync value so the transfer
+            # covers the backward sweep too
+            return rad + grads["camera"]["position"].sum(), None
+
+        tex_n = max(1, sec_n // 25)
         cases = [
-            ("cornell 800x800 d8 NEE ms/iter",
+            ("cornell 800x800 d8 NEE ms/iter", sec_n,
              lambda i, n: pathtrace_batch_pallas(cornell, i, n,
                                                  nee=True)),
-            ("sphere 800x800 d8 split ms/iter",
+            ("sphere 800x800 d8 split ms/iter", sec_n,
              lambda i, n: pathtrace_batch_split(sphere, i, n,
                                                 split=1)),
+            ("cornell_tex512 800x800 d8 ms/iter", tex_n,
+             lambda i, n: pathtrace_batch_pallas(cornell_tex, i, n)),
+            ("cornell 800x800 d8 NEE grad-step ms", 1, grad_step),
         ]
-        for metric, fn in cases:
+        for metric, n_case, fn in cases:
             try:
-                ms = timed_ms(fn, sec_n)
+                ms = timed_ms(fn, n_case)
             except Exception as e:  # a broken secondary never hides
                 secondary.append(dict(metric=metric,
                                       error=str(e)[:200]))

@@ -277,7 +277,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  nodes=None, bvh_meta=(), rr_mode=False,
                  tex_geom=(), btex_geom=(), texr=None, texg=None,
                  texb=None, tex_fetch=None, bvh_grad=False,
-                 stream=None):
+                 stream=None, tex_stream=None):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -320,6 +320,99 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
         tex_fetch_multi = (
             lambda tab, idxs, _f=tex_fetch: [_f(tab, i) for i in idxs]
         )
+
+    if tex_stream is not None:
+        t_slabs, t_sems = tex_stream
+
+        def fetch3(idxs):
+            """All-channel texel taps from HBM-resident u8-packed
+            tables via a need-driven slab-serving while_loop (the
+            KTEX_STREAM_TEXELS design): each iteration DMAs, per
+            channel, the aligned 8-row slab holding the MINIMUM
+            still-unserved word-row among the tile's taps, then
+            serves every tap landing in it with the proven per-row
+            lane-gather.  Terminates after exactly as many iterations
+            as distinct slabs the taps touch; compile cost is one
+            loop body regardless of table size.  Returns
+            [r_taps, g_taps, b_taps], bit-identical to the resident
+            row sweep (tests/test_textures.py stream parity)."""
+            shape = idxs[0].shape
+            n_t = len(idxs)
+            rows_t, lanes_t, shifts = [], [], []
+            for fi in idxs:
+                w = jax.lax.shift_right_logical(fi, 2)
+                rows_t.append(jax.lax.shift_right_logical(w, 7))
+                lanes_t.append(w & 127)
+                shifts.append(jax.lax.shift_left(fi & 3, 3))
+            big = jnp.int32(2 ** 30)
+            # unserved masks carry as int32 0/1 — i1 vectors in a
+            # while_loop carry fail Mosaic's scf.yield legalization
+            init = (
+                tuple(jnp.zeros(shape, jnp.int32)
+                      for _ in range(3 * n_t)),
+                tuple(jnp.ones(shape, jnp.int32) for _ in range(n_t)),
+            )
+
+            def cond(c):
+                any_un = None
+                for u in c[1]:
+                    a = jnp.any(u > 0)
+                    any_un = a if any_un is None else (any_un | a)
+                return any_un
+
+            def body(c):
+                words, uns = list(c[0]), list(c[1])
+                rmin = big
+                for u, rt in zip(uns, rows_t):
+                    rmin = jnp.minimum(
+                        rmin, jnp.min(jnp.where(u > 0, rt, big))
+                    )
+                ra = rmin & ~7
+                cps = [
+                    pltpu.make_async_copy(
+                        tab.at[pl.ds(ra, 8)], slab, sem
+                    )
+                    for tab, slab, sem in zip(
+                        (texr, texg, texb), t_slabs, t_sems
+                    )
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                for j in range(8):
+                    rowv = [
+                        jnp.broadcast_to(slab[j:j + 1, :], shape)
+                        for slab in t_slabs
+                    ]
+                    for t in range(n_t):
+                        m = (uns[t] > 0) & (rows_t[t] == ra + j)
+                        for ch in range(3):
+                            g = jnp.take_along_axis(
+                                rowv[ch], lanes_t[t], axis=1
+                            )
+                            k = ch * n_t + t
+                            words[k] = jnp.where(m, g, words[k])
+                        uns[t] = jnp.where(m, 0, uns[t])
+                return tuple(words), tuple(uns)
+
+            words, _ = jax.lax.while_loop(cond, body, init)
+            outs = []
+            for ch in range(3):
+                taps = []
+                for t in range(n_t):
+                    byte = jax.lax.shift_right_logical(
+                        words[ch * n_t + t], shifts[t]
+                    ) & 0xFF
+                    taps.append(
+                        byte.astype(jnp.float32) / jnp.float32(255.0)
+                    )
+                outs.append(taps)
+            return outs
+    else:
+        def fetch3(idxs):
+            return [tex_fetch_multi(tab, idxs)
+                    for tab in (texr, texg, texb)]
 
     c = lambda k: cam[0, k]
     pos_x, pos_y, pos_z = c(0), c(1), c(2)
@@ -1455,10 +1548,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 i10 = off_i + y1 * wi + x0
                 i11 = off_i + y1 * wi + x1
                 out = []
-                for tab in (texr, texg, texb):
-                    c00, c01, c10, c11 = tex_fetch_multi(
-                        tab, (i00, i01, i10, i11)
-                    )
+                for c00, c01, c10, c11 in fetch3((i00, i01, i10, i11)):
                     top = c00 * (1.0 - fx_w) + c01 * fx_w
                     bot = c10 * (1.0 - fx_w) + c11 * fx_w
                     out.append(top * (1.0 - fy_w) + bot * fy_w)
@@ -2133,7 +2223,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
             width, height, depth, n_pixels, n_tris=0, n_spp=1,
             features=(True,) * 7, nee_lights=(), grad_mats=(),
             early_exit=False, bvh_meta=(), rr_mode=False, tex_geom=(),
-            btex_geom=(), stream_mesh=False):
+            btex_geom=(), stream_mesh=False, stream_tex=False):
     """One ray tile, full trace.
 
     it_ref: (1,2) SMEM int32 — [iteration, pixel offset].
@@ -2168,9 +2258,22 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
     rest = list(rest)
+    # scratch refs trail the outputs in scratch_shapes order:
+    # (mesh: tri_leaf, node_win, sem_t, sem_n) then
+    # (tex: slab_r, slab_g, slab_b, tsem_r, tsem_g, tsem_b) —
+    # pop the tex block first (declared last)
+    if stream_tex:
+        tsem_b = rest.pop()
+        tsem_g = rest.pop()
+        tsem_r = rest.pop()
+        slab_b = rest.pop()
+        slab_g = rest.pop()
+        slab_r = rest.pop()
+        tex_stream_refs = ((slab_r, slab_g, slab_b),
+                           (tsem_r, tsem_g, tsem_b))
+    else:
+        tex_stream_refs = None
     if stream_mesh:
-        # scratch refs trail the outputs (pallas scratch_shapes order:
-        # tri_leaf, node_win, sem_t, sem_n)
         sem_n = rest.pop()
         sem_t = rest.pop()
         node_win = rest.pop()
@@ -2182,11 +2285,18 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
     if tex_mode or btex_mode:
-        # lane-replicated flat texture tables (HWtot, 128) per channel;
-        # loaded as values (the gather consumes vectors)
-        texr_v = rest.pop(0)[:, :]
-        texg_v = rest.pop(0)[:, :]
-        texb_v = rest.pop(0)[:, :]
+        if stream_tex:
+            # HBM-resident tables: keep the ANY refs — the slab-serving
+            # fetch DMAs 8-row windows on demand
+            texr_v = rest.pop(0)
+            texg_v = rest.pop(0)
+            texb_v = rest.pop(0)
+        else:
+            # lane-replicated flat texture tables (rows, 128) VMEM;
+            # loaded as values (the row-sweep gather consumes vectors)
+            texr_v = rest.pop(0)[:, :]
+            texg_v = rest.pop(0)[:, :]
+            texb_v = rest.pop(0)[:, :]
     else:
         texr_v = texg_v = texb_v = None
     if grad_mode:
@@ -2218,6 +2328,7 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
         fx=fx, fy=fy, valid=valid, nodes=nodes_ref, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
         texr=texr_v, texg=texg_v, texb=texb_v, stream=stream_refs,
+        tex_stream=tex_stream_refs,
     )
 
     def one_sample(sidx, acc):
@@ -2346,7 +2457,10 @@ KTEX_MAX_TEXELS = 65536  # e.g. one 256x256 map, or four 128x128
 # stream caps below bound the f32-exact chart planes (2^24 texel
 # offsets) and table HBM cost, not the kernel design.
 KTEX_STREAM_MAX_SIDE = 2048
-KTEX_STREAM_TEXELS = 4 * 1024 * 1024   # e.g. one 2048x2048 map
+# one 2048^2 map (the loader's safety clamp, scene/textures.py) PLUS
+# headroom for companion maps (bump heights etc.); the true bounds are
+# f32 chart-offset exactness (2^24) and HBM cost, far above this
+KTEX_STREAM_TEXELS = 6 * 1024 * 1024
 # resident table rows at the resident cap: 65,536 texels, 4 u8/word,
 # 128 words/row -> 128 rows; larger tables auto-stream
 KTEX_RESIDENT_ROWS = KTEX_MAX_TEXELS // (4 * LANES)
@@ -2492,7 +2606,16 @@ def _pack_textures(scene, used, packed=False):
             ])
             outs.append(words.reshape(n_rows, LANES))
             continue
-        outs.append(flat[:, None])
+        # planes engine: (rows, 128) f32 so taps can ROW-gather + one-
+        # hot-contract (plane_engine._tex_fetch_direct) instead of the
+        # serializing per-element gather; zero-pad only the tail (the
+        # concatenated per-texture offsets stay valid)
+        n_rows = -(-flat.shape[0] // LANES)
+        flat = jnp.concatenate([
+            flat,
+            jnp.zeros((n_rows * LANES - flat.shape[0],), jnp.float32),
+        ])
+        outs.append(flat.reshape(n_rows, LANES))
     return tuple(outs)
 
 
@@ -2815,6 +2938,15 @@ def _run(cam, mats, gmat, tri, lights, it, resolution, trace_depth,
             pltpu.SemaphoreType.DMA,                        # sem_t
             pltpu.SemaphoreType.DMA,                        # sem_n
         )
+    if stream_tex:
+        scratch = scratch + (
+            pltpu.VMEM((8, LANES), jnp.int32),              # slab_r
+            pltpu.VMEM((8, LANES), jnp.int32),              # slab_g
+            pltpu.VMEM((8, LANES), jnp.int32),              # slab_b
+            pltpu.SemaphoreType.DMA,                        # tsem_r
+            pltpu.SemaphoreType.DMA,                        # tsem_g
+            pltpu.SemaphoreType.DMA,                        # tsem_b
+        )
     p0 = jnp.asarray(0 if pix0 is None else pix0, jnp.int32)
     scal = jnp.stack(
         [jnp.asarray(it, jnp.int32).reshape(()), p0.reshape(())]
@@ -3002,7 +3134,7 @@ def pathtrace_iteration_pallas(scene, it, interpret=False,
 
 def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
                            early_exit=False, nee=False, rr=False,
-                           stream=None):
+                           stream=None, tex_stream=None):
     """``n_iters`` samples/pixel in ONE kernel launch: the spp loop runs
     *inside* the megakernel, so per-sample radiance never touches HBM —
     one accumulated writeback per call.  Returns
@@ -3020,6 +3152,7 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
     return _batch_jit(
         scene, it0, n_iters, interpret, early_exit,
         _scene_features(scene), nee, rr, tg, tu, bg, stream=stream,
+        tex_stream=tex_stream,
     )
 
 
@@ -3027,10 +3160,12 @@ def pathtrace_batch_pallas(scene, it0, n_iters: int, interpret=False,
                                              "early_exit", "features",
                                              "nee", "rr", "tex_geom",
                                              "tex_used", "btex_geom",
-                                             "local_pixels", "stream"))
+                                             "local_pixels", "stream",
+                                             "tex_stream"))
 def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
                nee=False, rr=False, tex_geom=(), tex_used=(),
-               btex_geom=(), pix0=None, local_pixels=None, stream=None):
+               btex_geom=(), pix0=None, local_pixels=None, stream=None,
+               tex_stream=None):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom, btex_geom)
     lights, nee_lights = (
         _pack_lights(scene) if nee else (None, ())
@@ -3045,6 +3180,7 @@ def _batch_jit(scene, it0, n_iters, interpret, early_exit, features,
         bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
         btex_geom=btex_geom, texs=texs, pix0=pix0,
         local_pixels=local_pixels, stream_mesh=stream,
+        stream_tex=tex_stream,
     )
     return rad, counts
 
@@ -3883,6 +4019,17 @@ def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
             return pathtrace_batch_pallas(scene, it0, n_iters,
                                           interpret=interpret,
                                           nee=nee, rr=rr)
+    used = _tex_used(scene)
+    if used and sum(
+        int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
+        for t in used
+    ) > KTEX_MAX_TEXELS:
+        # over-resident textures: the split engine keeps its tables in
+        # VMEM; route to the monolithic engine, whose HBM slab-serving
+        # fetch handles the streamed sizes
+        return pathtrace_batch_pallas(scene, it0, n_iters,
+                                      interpret=interpret, nee=nee,
+                                      rr=rr)
     depth = int(scene.trace_depth)
     split = max(1, min(int(split), depth - 1)) if depth > 1 else 0
     if split == 0:

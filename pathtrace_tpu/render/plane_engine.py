@@ -41,18 +41,28 @@ from ..ops.pallas.megakernel import LANES, SUB, TILE
 
 
 def _tex_fetch_direct(tab, flat_idx):
-    """Texel tap via XLA's native gather.  ``tab`` is the unreplicated
-    (HWtot, 1) f32 table (megakernel._pack_textures, packed=False);
-    ``take_along_axis`` broadcasts its width-1 dim against the
-    (SUB, LANES) index.  Gathers are exact, so output matches
-    ``mk._tex_fetch`` bit-for-bit.
+    """Texel tap as ROW gather + one-hot lane contraction.
 
-    No ``stop_gradient`` here: the kernel's is a Mosaic limitation
-    (the gather's transpose is a scatter-add Mosaic cannot lower), not
-    semantics — texture texels are data leaves (core/types.Scene) and
-    their gradients flow through this engine exactly as through the
-    wavefront integrator's sample_texture."""
-    return jnp.take_along_axis(tab, flat_idx, axis=0)
+    ``tab`` is the (rows, 128) f32 table (megakernel._pack_textures,
+    packed=False).  The previous formulation — ``take_along_axis`` on
+    a (HWtot, 1) table — lowers to an XLA:TPU per-ELEMENT gather that
+    serializes (~8 ms per 640k-lane tap, the reason textured planes
+    measured 0.5-2.4 s/iter; round-4 verdict task 3).  Row gathers
+    move whole 128-lane vectors and measured 3.3x cheaper in the
+    split-engine analysis (BENCHMARKS.md: 2.4 ms vs 7.9 ms per 655k
+    elements); the lane select is then a one-hot where+sum — pure VPU
+    work XLA fuses.  Exact: the sum picks exactly one element (all
+    other addends are 0.0), so output matches ``mk._tex_fetch``
+    bit-for-bit.
+
+    No ``stop_gradient`` here: the kernel's is a Mosaic limitation,
+    not semantics — texel gradients flow through the row gather's
+    scatter-add transpose exactly as through the old element gather."""
+    r = jax.lax.shift_right_logical(flat_idx, 7)
+    lane = flat_idx & 127
+    rows = tab[r]                                 # (SUB, LANES, 128)
+    oh = lane[..., None] == jnp.arange(LANES, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, rows, 0.0), axis=-1)
 
 
 def _run_planes(cam, mats, gmat, tri, lights, it, resolution,

@@ -98,6 +98,23 @@ def test_streamed_mesh_nee_kernel_compiles(tpu_dev):
     _compile_fwd(sc, tpu_dev, nee=True, stream=True)
 
 
+def test_streamed_texture_kernel_compiles(tpu_dev):
+    """The HBM texture-table slab-serving fetch (round 5): a
+    while_loop of aligned 8-row DMAs + per-row lane gathers.  Same
+    guard class as the mesh-streaming test — interpret mode never runs
+    Mosaic's DMA/gather lowering."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_tex.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    assert mk._tex_in_kernel(sc)
+    tg, tu, bg = mk._tex_statics(sc)
+    feats = mk._scene_features(sc)
+    with jax.default_device(tpu_dev):
+        mk._batch_jit.lower(
+            sc, 1, 2, False, False, feats, False, False, tg, tu, bg,
+            tex_stream=True,
+        ).compile()
+
+
 def test_split_engine_compiles(tpu_dev):
     """The span kernels + scalar-prefetched resume grid."""
     sc = dc.replace(pt.load_scene("scenes/cornell.txt"),

@@ -158,12 +158,24 @@ SCALE       2 2 2
         assert (d.max(-1) > 0).mean() < 0.01
 
     def test_oversize_texture_runs_on_planes(self, tmp_path):
-        """Beyond KTEX caps the pallas entry point routes to the plane
-        engine (no more ~800x wavefront fallback) and must agree with
-        the integrator's texture sampling."""
+        """Beyond the KTEX caps the pallas entry point routes to the
+        plane engine (no more ~800x wavefront fallback) and must agree
+        with the integrator's texture sampling.  Round 5: the streamed
+        caps took over from the 256 ones (320^2 now streams
+        in-kernel), and the loader's 2048 safety clamp means a SINGLE
+        map can never exceed them — an off-u8-grid float texture is
+        the remaining single-map route to the planes engine (the
+        in-kernel tables are u8-packed words, exact only on the u8
+        grid)."""
+        import dataclasses as _dc
+
         from pathtrace_tpu.ops.pallas.megakernel import _xla_fallback
 
-        sc = self._scene(tmp_path, 320)
+        sc = self._scene(tmp_path, 64)
+        off_grid = tuple(
+            t + np.float32(1.0 / 512.0) for t in sc.textures
+        )
+        sc = _dc.replace(sc, textures=off_grid)
         assert _xla_fallback(sc)
         r_fb, _ = pathtrace_iteration_pallas(sc, 1)  # -> plane engine
         r_pl, _ = pathtrace_iteration_planes(sc, 1)

@@ -471,16 +471,20 @@ SCALE       2 2 2
 
     def test_oversize_fallback_exact(self, ktex_dir):
         """Scenes over the in-kernel texel caps fall back to the XLA
-        engine bit-for-bit."""
+        engine bit-for-bit.  Round 5: 'over the caps' means past the
+        STREAMED caps now (KTEX_STREAM_MAX_SIDE) — a wide-but-short
+        map keeps the fixture cheap."""
         from PIL import Image
 
         from pathtrace_tpu.ops.pallas.megakernel import (
-            _tex_in_kernel, _xla_fallback, pathtrace_iteration_pallas,
+            KTEX_STREAM_MAX_SIDE, _tex_in_kernel, _xla_fallback,
+            pathtrace_iteration_pallas,
         )
 
         rs = np.random.RandomState(13)
         Image.fromarray(
-            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
+            (rs.rand(64, KTEX_STREAM_MAX_SIDE + 32, 3) * 255)
+            .astype(np.uint8)
         ).save(os.path.join(ktex_dir, "big2.png"))
         text = self.SCENE.replace("t32.png", "big2.png")
         scene = pt.parse_scene(text, base_dir=ktex_dir)
@@ -556,9 +560,16 @@ SCALE       2 2 2
             KTEX_MAX_TEXELS, _tex_in_kernel, _tex_used, _xla_fallback,
         )
 
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            KTEX_STREAM_MAX_SIDE,
+        )
+
         rs = np.random.RandomState(11)
+        # past even the round-5 streamed caps (320^2 streams in-kernel
+        # now; 'oversized' = beyond KTEX_STREAM_MAX_SIDE)
         Image.fromarray(
-            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
+            (rs.rand(64, KTEX_STREAM_MAX_SIDE + 32, 3) * 255)
+            .astype(np.uint8)
         ).save(os.path.join(ktex_dir, "big.png"))
         # an unreferenced material with an oversized texture: scene
         # still runs in-kernel (review finding: per-material scan)
@@ -578,16 +589,19 @@ SCALE       2 2 2
     def test_oversize_bumptex_falls_back(self, ktex_dir):
         """A BUMPTEX map alone exceeding the in-kernel caps routes the
         scene to the XLA engine (regression guard for _tex_used's
-        bump-id inclusion in the cap check)."""
+        bump-id inclusion in the cap check).  Round 5: the streamed
+        caps took over, so 'oversize' now means past KTEX_STREAM_*
+        (a 320^2 map streams in-kernel instead — TestStreamTex)."""
         from PIL import Image
 
         from pathtrace_tpu.ops.pallas.megakernel import (
-            _tex_in_kernel, _xla_fallback,
+            KTEX_STREAM_MAX_SIDE, _tex_in_kernel, _xla_fallback,
         )
 
         rs = np.random.RandomState(17)
         Image.fromarray(
-            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
+            (rs.rand(16, KTEX_STREAM_MAX_SIDE + 32, 3) * 255)
+            .astype(np.uint8)
         ).save(os.path.join(ktex_dir, "bigbump.png"))
         text = self.SCENE.replace(
             "EMITTANCE   0\nTEXTURE     t32.png",
@@ -764,3 +778,106 @@ SCALE       2 2 2
         # require the defined points to match; (0,0) is never hit by
         # the charts (it's the sphere axis where u is undefined)
         np.testing.assert_allclose(got[:-1], want[:-1], atol=1e-6)
+
+
+class TestStreamTex:
+    """Round 5: HBM-streamed texture tables (KTEX_STREAM_TEXELS design).
+
+    Past the resident caps (256^2 / 65,536 texels) the u8-packed word
+    tables stay in HBM and the kernel's fetch switches to the need-
+    driven slab-serving while_loop (megakernel._make_tracer fetch3) —
+    the mesh-streaming DMA pattern applied to textures, per the
+    round-4 verdict's task 2.  These tests force ``tex_stream`` both
+    ways on small maps (bit parity with the proven resident sweep)
+    and run the auto-streamed sizes against the planes engine."""
+
+    @pytest.fixture(scope="class")
+    def ktex_dir(self, tmp_path_factory):
+        from PIL import Image
+
+        td = tmp_path_factory.mktemp("stream_tex")
+        rs = np.random.RandomState(3)
+        Image.fromarray(
+            (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+        ).save(str(td / "t32.png"))
+        Image.fromarray(
+            (rs.rand(320, 320, 3) * 255).astype(np.uint8)
+        ).save(str(td / "t320.png"))
+        return str(td)
+
+    def _scene(self, ktex_dir, tex):
+        text = TestPallasInKernel.SCENE.replace("t32.png", tex)
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        return dc.replace(scene, resolution=(16, 16), trace_depth=3)
+
+    def test_forced_stream_matches_resident(self, ktex_dir):
+        """Small map, stream forced on: bit-identical to the resident
+        row sweep across two accumulated iterations."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_batch_pallas,
+        )
+
+        sc = self._scene(ktex_dir, "t32.png")
+        a, ca = pathtrace_batch_pallas(sc, 1, 2, interpret=True,
+                                       tex_stream=False)
+        b, cb = pathtrace_batch_pallas(sc, 1, 2, interpret=True,
+                                       tex_stream=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        assert float(np.asarray(a).sum()) > 0
+
+    def test_auto_stream_over_resident_cap(self, ktex_dir):
+        """A 320^2 map (102,400 texels > 65,536) is now in-kernel (no
+        planes fallback), auto-streams, and matches the planes engine
+        bit-for-bit."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            KTEX_RESIDENT_ROWS, _tex_in_kernel, _xla_fallback,
+            pathtrace_iteration_pallas,
+        )
+        from pathtrace_tpu.render.plane_engine import (
+            pathtrace_iteration_planes,
+        )
+
+        sc = self._scene(ktex_dir, "t320.png")
+        assert _tex_in_kernel(sc) and not _xla_fallback(sc)
+        # the packed table really is over the resident row budget
+        assert -(-(320 * 320) // (4 * 128)) > KTEX_RESIDENT_ROWS
+        rk, _ = pathtrace_iteration_pallas(sc, 1, interpret=True)
+        rp, _ = pathtrace_iteration_planes(sc, 1)
+        assert np.array_equal(np.asarray(rk), np.asarray(rp))
+        assert float(np.asarray(rk).sum()) > 0
+
+    def test_streamed_bumptex_matches_planes(self, ktex_dir):
+        """BUMPTEX height taps (the 8 extra central-difference taps)
+        through the streamed fetch: parity vs the planes engine."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _xla_fallback, pathtrace_iteration_pallas,
+        )
+        from pathtrace_tpu.render.plane_engine import (
+            pathtrace_iteration_planes,
+        )
+
+        text = TestPallasInKernel.SCENE.replace(
+            "EMITTANCE   0\nTEXTURE     t32.png",
+            "EMITTANCE   0\nTEXTURE     t32.png\n"
+            "BUMPTEX     t320.png 0.6",
+        )
+        scene = pt.parse_scene(text, base_dir=ktex_dir)
+        scene = dc.replace(scene, resolution=(16, 16), trace_depth=3)
+        assert not _xla_fallback(scene)
+        rk, _ = pathtrace_iteration_pallas(scene, 1, interpret=True)
+        rp, _ = pathtrace_iteration_planes(scene, 1)
+        assert np.array_equal(np.asarray(rk), np.asarray(rp))
+
+    def test_split_engine_routes_streamed_tex_to_monolithic(
+            self, ktex_dir):
+        """The split engine keeps VMEM tables; over-resident textures
+        must route to the monolithic kernel, same image."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_batch_pallas, pathtrace_batch_split,
+        )
+
+        sc = self._scene(ktex_dir, "t320.png")
+        a, _ = pathtrace_batch_split(sc, 1, 1, split=1, interpret=True)
+        b, _ = pathtrace_batch_pallas(sc, 1, 1, interpret=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
