@@ -198,9 +198,15 @@ def main():
 
             ct = jnp.ones((cornell.pixel_count, 3), jnp.float32)
             rad, grads = render_vjp_pallas(cornell, ct, i, 1, nee=True)
-            # fold a grad leaf into the sync value so the transfer
-            # covers the backward sweep too
-            return rad + grads["camera"]["position"].sum(), None
+            # fold every grad leaf into the sync value so the forced
+            # transfer covers the whole backward sweep
+            import jax as _jax
+
+            gsum = sum(
+                jnp.sum(g) for g in _jax.tree.leaves(grads)
+                if g is not None
+            )
+            return rad + gsum, None
 
         tex_n = max(1, sec_n // 25)
         cases = [

@@ -2423,23 +2423,16 @@ def _kernel(it_ref, cam_ref, mats_ref, gmat_ref, *rest, geom_types,
 # host wrapper
 # ----------------------------------------------------------------------------
 
-# in-kernel image-texture ceilings.  The binding constraint is NOT
-# VMEM (u8-packed tables cost HWtot/4 bytes per channel) but
+# in-kernel image-texture RESIDENT ceilings.  The binding constraint
+# is NOT VMEM (u8-packed tables cost HWtot/4 bytes per channel) but
 # tpu.dynamic_gather's single-vreg source limit: each bilinear tap
 # sweeps the table's ceil(HWtot/512) word-rows (_tex_fetch_multi;
 # one lane-gather + select per tap per row), so fetch cost is LINEAR
-# in the total texel count.  The round-4 HW sweep (tools/
-# tex_crossover.py, v5e, cornell 800x800 d8) found NO crossover to
-# the fused-plane fallback anywhere in reach — XLA:TPU element
-# gathers at wavefront scale run the fallback at 539-2374 ms/iter
-# textured, while in-kernel measures 12.8 ms (128^2), 38.6 ms
-# (256^2), 48.9 ms (128^2+bump), 181 ms (256^2+bump).  The cap is
-# therefore set by compile time and absolute cost, not a crossover:
-# 65,536 texels = 128 word-rows unrolled per tap = ~93 s cold
-# compile at the bump-heavy worst case.  Beyond the caps the scene
-# falls back to the fused-plane XLA engine (HBM tables, native
-# gather, any size — slow but unbounded; keep CLI --chunk small
-# there: single >2 min device calls trip the TPU worker watchdog).
+# in the total texel count and the sweep is UNROLLED code — ~93 s
+# cold compile at the bump-heavy 65,536-texel cap (round-4 HW sweep,
+# tools/tex_crossover.py: in-kernel 12.8 ms at 128^2, 38.6 at 256^2,
+# 181 at 256^2+bump).  Beyond these caps the tables no longer fall
+# back to the planes engine — they STREAM (next block).
 KTEX_MAX_SIDE = 256
 KTEX_MAX_TEXELS = 65536  # e.g. one 256x256 map, or four 128x128
 
@@ -2489,13 +2482,14 @@ def _tex_used(scene):
 
 def _tex_in_kernel(scene, used=None):
     """Static: can the megakernel run this scene's image textures
-    (albedo TEXTURE and BUMPTEX height maps)?  Up to KTEX_MAX_SIDE per
-    map / KTEX_MAX_TEXELS total across the referenced set (set by
-    measured compile time + absolute fetch cost; the round-4 HW sweep
-    found in-kernel beats the fused-plane fallback at EVERY size that
-    compiles — see the cap comment above), and every
-    texel on the u8 grid (the in-kernel tables are u8-packed i32
-    words, exact only for u8-sourced textures — scene/textures.py
+    (albedo TEXTURE and BUMPTEX height maps)?  Round 5: up to
+    KTEX_STREAM_MAX_SIDE per map / KTEX_STREAM_TEXELS total across the
+    referenced set (under the resident caps the table sits in VMEM and
+    the unrolled row sweep taps it; over them it streams from HBM via
+    the slab-serving fetch — both measured faster than the planes
+    fallback at every size, BENCHMARKS.md "Streamed texture tables"),
+    and every texel on the u8 grid (the in-kernel tables are u8-packed
+    i32 words, exact only for u8-sourced textures — scene/textures.py
     loads all images that way; a hand-built f32 texture off the grid
     runs on the planes engine instead of being silently quantized)."""
     used = _tex_used(scene) if used is None else used
@@ -3103,11 +3097,10 @@ def _tex_statics(scene):
 
 
 def _xla_fallback(scene):
-    # Oversized image textures run on the XLA engine (the in-kernel
-    # tables are capped at KTEX_MAX_SIDE/KTEX_MAX_TEXELS by the
-    # lane-replicated VMEM design — see _tex_fetch; falling back beats
-    # silently rendering untextured).  Only geom-REFERENCED textures
-    # count: a declared-but-unused map affects neither engine.
+    # Textures past even the STREAMED caps (KTEX_STREAM_*), or off the
+    # u8 grid, run on the XLA engine (falling back beats silently
+    # rendering untextured).  Only geom-REFERENCED textures count: a
+    # declared-but-unused map affects neither engine.
     used = _tex_used(scene)
     return bool(used) and not _tex_in_kernel(scene, used)
 

@@ -130,7 +130,8 @@ def render_pixel_sharded(scene: Scene, it0: int, n_iters: int,
 
 
 def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
-                                 mesh: Mesh, interpret: bool = False):
+                                 mesh: Mesh, interpret: bool = False,
+                                 stream=None, tex_stream=None):
     """Sample-sharded rendering with the Pallas megakernel inside the
     mesh: each device runs its slice of the spp batch through the
     in-kernel spp loop, then one image psum over ICI.  The megakernel
@@ -162,9 +163,13 @@ def render_sample_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     tex_geom, tex_used, btex_geom = _tex_statics(scene)
 
     def body(scene, it0_local):
+        # stream/tex_stream: None = the kernel's auto shape-static
+        # decision; forced by the CPU-mesh tests that pin streaming +
+        # shard_map composition (round-5 stretch)
         rad, counts = _batch_jit(
             scene, it0_local[0], per_dev, interpret, False, features,
             tex_geom=tex_geom, tex_used=tex_used, btex_geom=btex_geom,
+            stream=stream, tex_stream=tex_stream,
         )
         return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
 

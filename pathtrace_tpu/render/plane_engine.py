@@ -15,10 +15,10 @@ flips), but everything lowers through stock XLA:
 
 - works on any backend (CPU tests, TPU without Mosaic),
 - differentiable with plain ``jax.grad`` (it is ordinary traced jnp),
-- no VMEM ceilings: image textures beyond the kernel's
-  KTEX_MAX_SIDE/KTEX_MAX_TEXELS caps run here at full speed, which
-  replaces the old ~800x-slower wavefront fallback
-  (megakernel._xla_fallback).
+- no texture ceilings at all: image textures beyond even the kernel's
+  round-5 STREAMED caps (or off the u8 grid) run here via native XLA
+  row gathers (megakernel._xla_fallback), which replaced the old
+  ~800x-slower wavefront fallback.
 
 Semantics: identical RNG streams and math as both other engines —
 reference contract citations live in ops/intersect.py / ops/bsdf.py

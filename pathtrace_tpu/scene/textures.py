@@ -32,9 +32,11 @@ from __future__ import annotations
 import numpy as np
 
 # Safety clamp only: huge maps still load (LANCZOS-downsampled) rather
-# than OOM.  The engines pick their own ceilings — the megakernel's
-# u8-packed VMEM caps are megakernel.KTEX_MAX_SIDE/KTEX_MAX_TEXELS
-# (over-cap scenes run on the fused-plane XLA engine at full size).
+# than OOM.  The engines pick their own ceilings — the megakernel runs
+# any clamped size in-kernel (VMEM-resident to 65,536 texels, HBM-
+# streamed past that; megakernel.KTEX_* constants), aligned with this
+# clamp; off-u8-grid or over-total scenes run on the fused-plane XLA
+# engine at full size.
 MAX_TEX_SIDE = 2048
 
 

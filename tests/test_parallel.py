@@ -357,3 +357,56 @@ class TestShardedMesh:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-6
             )
+
+
+class TestStreamedSharding:
+    """Round-5 stretch (VERDICT r4 task 8): streaming + shard_map
+    compose.  The HBM-streamed mesh traversal and the streamed texture
+    fetch each run inside render_sample_sharded_pallas on the CPU
+    mesh, bit-equal to the single-device streamed render."""
+
+    def test_streamed_mesh_under_shard_map(self, mesh):
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _batch_jit, _scene_features,
+        )
+
+        sc = pt.load_scene("scenes/cornell_mesh.txt")
+        sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+        ndev = mesh.devices.size
+        ref, counts_ref = _batch_jit(
+            sc, 1, ndev, True, False, _scene_features(sc), stream=True,
+        )
+        out, counts = ps.render_sample_sharded_pallas(
+            sc, 1, ndev, mesh, interpret=True, stream=True
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+        assert np.array_equal(np.asarray(counts), np.asarray(counts_ref))
+        assert float(np.asarray(out).sum()) > 0
+
+    def test_streamed_tex_under_shard_map(self, mesh, tmp_path):
+        from PIL import Image
+
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _batch_jit, _scene_features, _tex_statics,
+        )
+
+        rs = np.random.RandomState(3)
+        Image.fromarray(
+            (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+        ).save(str(tmp_path / "t32.png"))
+        from test_textures import TestPallasInKernel
+
+        sc = pt.parse_scene(TestPallasInKernel.SCENE,
+                            base_dir=str(tmp_path))
+        sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+        ndev = mesh.devices.size
+        tg, tu, bg = _tex_statics(sc)
+        ref, _ = _batch_jit(
+            sc, 1, ndev, True, False, _scene_features(sc),
+            tex_geom=tg, tex_used=tu, btex_geom=bg, tex_stream=True,
+        )
+        out, _ = ps.render_sample_sharded_pallas(
+            sc, 1, ndev, mesh, interpret=True, tex_stream=True
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+        assert float(np.asarray(out).sum()) > 0
