@@ -160,11 +160,15 @@ def main():
         # round 5's HBM slab-streaming fetch runs it in-kernel.
         # grad-step 146.5: the round-4 in-kernel reverse sweep
         # (BENCHMARKS.md "Gradients"), unoptimized since round 3.
+        # bigmesh 4608.0: the honest (forced-transfer) 800^2 cost of
+        # round-4 code's full-fold resident traversal — the round-5
+        # winner-fold + sorted engine measure against it.
         seed = {
             "cornell 800x800 d8 NEE ms/iter": 4.06,
             "sphere 800x800 d8 split ms/iter": 0.390,
             "cornell_tex512 800x800 d8 ms/iter": 2374.0,
             "cornell 800x800 d8 NEE grad-step ms": 146.5,
+            "bigmesh 800x800 d8 sorted ms/iter": 4608.0,
         }
 
         def timed_ms(fn, n):
@@ -208,6 +212,15 @@ def main():
             )
             return rad + gsum, None
 
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            pathtrace_batch_sorted,
+        )
+
+        bigmesh = pt.load_scene(os.path.join(here, "scenes",
+                                             "cornell_bigmesh.txt"))
+        bigmesh = __import__("dataclasses").replace(
+            bigmesh, resolution=(800, 800)
+        )
         tex_n = max(1, sec_n // 25)
         cases = [
             ("cornell 800x800 d8 NEE ms/iter", sec_n,
@@ -219,6 +232,8 @@ def main():
             ("cornell_tex512 800x800 d8 ms/iter", tex_n,
              lambda i, n: pathtrace_batch_pallas(cornell_tex, i, n)),
             ("cornell 800x800 d8 NEE grad-step ms", 1, grad_step),
+            ("bigmesh 800x800 d8 sorted ms/iter", 2,
+             lambda i, n: pathtrace_batch_sorted(bigmesh, i, n)),
         ]
         for metric, n_case, fn in cases:
             try:

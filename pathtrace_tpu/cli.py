@@ -44,12 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hdr", action="store_true",
                    help="also write a Radiance .hdr")
     p.add_argument("--compaction", choices=["mask", "sort"], default="mask")
-    p.add_argument("--engine", choices=["pallas", "planes", "xla"],
+    p.add_argument("--engine",
+                   choices=["pallas", "sorted", "planes", "xla"],
                    default="pallas",
                    help="pallas = VMEM megakernel (fastest; primitives "
-                        "and meshes); planes = fused-plane XLA engine "
-                        "(same trace, any backend, no VMEM texture "
-                        "caps); xla = jnp wavefront (readable "
+                        "and meshes); sorted = per-bounce ray re-sort "
+                        "between span kernels (lane-granular stream "
+                        "compaction + coherence; wins on mesh scenes, "
+                        "bit-identical output); planes = fused-plane "
+                        "XLA engine (same trace, any backend, no VMEM "
+                        "texture caps); xla = jnp wavefront (readable "
                         "reference; sort-compaction)")
     p.add_argument("--split-depth", type=int, default=0,
                    help="pallas engine: split the trace at this bounce "
@@ -125,7 +129,8 @@ def main(argv=None) -> int:
 
     def make_render_fn(scene):
         compaction = args.compaction
-        if args.engine in ("pallas", "planes") and compaction == "sort":
+        if args.engine in ("pallas", "sorted", "planes") \
+                and compaction == "sort":
             # One behavior everywhere (round-3 advisor): the tiled
             # engines have no densify pass (every VMEM lane computes
             # every bounce under a live mask — the measured
@@ -164,15 +169,21 @@ def main(argv=None) -> int:
             return lambda it0, step: pathtrace_batch_planes(
                 scene, it0, step, nee=args.nee, rr=args.rr,
             )
-        if args.engine == "pallas" and compaction == "mask":
+        if args.engine in ("pallas", "sorted") and compaction == "mask":
             import jax
 
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if on_tpu or args.interpret:
                 from pathtrace_tpu.ops.pallas.megakernel import (
-                    pathtrace_batch_pallas, pathtrace_batch_split,
+                    pathtrace_batch_pallas, pathtrace_batch_sorted,
+                    pathtrace_batch_split,
                 )
 
+                if args.engine == "sorted":
+                    return lambda it0, step: pathtrace_batch_sorted(
+                        scene, it0, step, nee=args.nee, rr=args.rr,
+                        interpret=not on_tpu,
+                    )
                 if args.split_depth > 0:
                     return lambda it0, step: pathtrace_batch_split(
                         scene, it0, step, split=args.split_depth,

@@ -65,6 +65,16 @@ TILE = SUB * LANES  # rays per tile (4096)
 # the resident path is untouched.
 NODE_WINDOW = 64
 MESH_STREAM_BYTES = 64 * 1024 * 1024
+# Round 5: the PRIMAL resident-mesh traversal reuses the bvh_grad
+# "carry" machinery — the while_loop runs the cheap Moller-Trumbore
+# distance test per leaf row (~60 vector ops) and carries the winning
+# row's value planes; the full shade fold (several hundred ops + ~20
+# best-plane selects per row in the legacy path) then runs ONCE per
+# geom on the carried winner.  Identical predicates on identical
+# values -> bit-identical output (pinned by the engine-parity tests);
+# measured 1.3-1.9x on mesh scenes (BENCHMARKS.md "Mesh scenes").
+# False restores the legacy full-fold-in-leaf traversal.
+MESH_WINNER_FOLD_PRIMAL = True
 # The streamed leaf slab is 2*LEAF_K rows starting at the &~7-aligned
 # base, so a leaf fits only if lo (<=7, the alignment remainder) plus
 # count (<=LEAF_K) stays inside it — lowering LEAF_K below 7 in
@@ -1237,22 +1247,56 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     return best, tt, hit
 
                 if stream is not None and not bvh_grad:
-                    # ---- HBM-streaming traversal (round 4) ----
+                    # ---- HBM-streaming traversal (round 4; round 5:
+                    # winner-fold leaves) ----
                     # tri_ref / nodes_ref are HBM (ANY) refs; node rows
                     # read through a NODE_WINDOW forward cache refilled
                     # at the cursor on miss, leaf triangles DMA'd
-                    # LEAF_K rows per visited leaf.  Same fold math and
-                    # winner semantics as the resident path below.
+                    # LEAF_K rows per visited leaf.  Leaves run the
+                    # same cheap Moller-Trumbore winner test as the
+                    # resident carry path (MESH_WINNER_FOLD_PRIMAL) —
+                    # the full shade fold runs ONCE on the carried
+                    # winner, which keeps the two paths structurally
+                    # identical (same fma fusion -> bit-equal; a 1-ulp
+                    # flip between full-fold and winner-fold shapes is
+                    # what this design retired) and gives streaming
+                    # the same leaf-cost win.
                     tri_leaf, node_win, sem_t, sem_n = stream
+                    n_vcols_s = (24 if btex_mesh_here
+                                 else 18 if tex_here else 12)
 
-                    def leaf_body_s(j, carry, *,
-                                    mt_shade_fold=mt_shade_fold,
-                                    tri_leaf=tri_leaf):
-                        best, t_loc = carry
+                    def leaf_body_s(j, carry, *, tri_leaf=tri_leaf,
+                                    rox=rox, roy=roy, roz=roz,
+                                    rdx=rdx, rdy=rdy, rdz=rdz):
+                        widx, t_loc, vals = carry
                         tm = lambda k: tri_leaf[j, k]
-                        best, tt, hit = mt_shade_fold(tm, best)
-                        t_loc = jnp.where(hit & (tt < t_loc), tt, t_loc)
-                        return best, t_loc
+                        v0x, v0y, v0z = tm(0), tm(1), tm(2)
+                        e1x, e1y, e1z = tm(3), tm(4), tm(5)
+                        e2x, e2y, e2z = tm(6), tm(7), tm(8)
+                        pvx = rdy * e2z - rdz * e2y
+                        pvy = rdz * e2x - rdx * e2z
+                        pvz = rdx * e2y - rdy * e2x
+                        det = pvx * e1x + pvy * e1y + pvz * e1z
+                        ok = jnp.abs(det) > 1e-12
+                        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                        tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (rdx * qvx + rdy * qvy + rdz * qvz) \
+                            * inv_det
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) \
+                            * inv_det
+                        hit = ok & (u >= 0.0) & (vv >= 0.0) \
+                            & (u + vv <= 1.0) & (tt > 0.0)
+                        upd = hit & (tt < t_loc)
+                        vals = tuple(
+                            jnp.where(upd, tm(k), v)
+                            for k, v in enumerate(vals)
+                        )
+                        return (jnp.where(upd, j, widx),
+                                jnp.where(upd, tt, t_loc), vals)
 
                     def trav_body_s(carry, *, rox=rox, roy=roy, roz=roz,
                                     irdx=irdx, irdy=irdy, irdz=irdz,
@@ -1261,7 +1305,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                                     tri_leaf=tri_leaf,
                                     node_win=node_win,
                                     sem_t=sem_t, sem_n=sem_n):
-                        n, wb, best, t_loc = carry
+                        n, wb, widx, t_loc, vals = carry
                         # wb = ALIGNED global row base of the cached
                         # window.  DMA bases must sit on (8,128) f32
                         # tile rows — an unaligned sublane start reads
@@ -1319,17 +1363,25 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         # fetch, empty range otherwise — replaces the
                         # resident path's lax.cond(do_leaf)
                         lo = gstart - ga
-                        best, t_loc = jax.lax.fori_loop(
+                        widx, t_loc, vals = jax.lax.fori_loop(
                             lo, lo + jnp.where(fetch, count, 0),
-                            leaf_body_s, (best, t_loc),
+                            leaf_body_s, (widx, t_loc, vals),
                         )
                         nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
-                        return nxt, wb2, best, t_loc
+                        return nxt, wb2, widx, t_loc, vals
 
-                    _, _, best, _ = jax.lax.while_loop(
+                    zero_s = jnp.zeros((SUB, LANES), jnp.float32)
+                    _, _, widx, _, wvals = jax.lax.while_loop(
                         lambda c: c[0] < n_nodes_g, trav_body_s,
                         (jnp.int32(0), jnp.int32(-2 * NODE_WINDOW),
-                         best, t0),
+                         jnp.full((SUB, LANES), -1, jnp.int32), t0,
+                         tuple(zero_s for _ in range(n_vcols_s))),
+                    )
+                    # one full shade fold on the carried winner —
+                    # identical predicates/values as the resident
+                    # carry path's recompute
+                    best, _, _ = mt_shade_fold(
+                        lambda k: wvals[k], best, extra_hit=widx >= 0
                     )
                     continue
 
@@ -1378,7 +1430,9 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
                     return nxt, best, t_loc
 
-                if not bvh_grad:
+                if not bvh_grad and not MESH_WINNER_FOLD_PRIMAL:
+                    # legacy primal traversal: full shade fold per
+                    # visited leaf row
                     _, best, _ = jax.lax.while_loop(
                         lambda c: c[0] < n_nodes_g, trav_body,
                         (jnp.int32(0), best, t0),
@@ -1402,7 +1456,9 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 #     mesh scenes in-kernel; tri_verts gradients stay
                 #     on the planes engine (same Mosaic-scatter
                 #     exclusion as texel gradients).
-                carry_vals = bvh_grad == "carry"
+                # primal rides carry mode too (MESH_WINNER_FOLD_PRIMAL
+                # above): the sg() detachments are no-ops forward
+                carry_vals = (bvh_grad == "carry") or not bvh_grad
                 n_vcols = (24 if btex_mesh_here
                            else 18 if tex_here else 12)
                 sg = jax.lax.stop_gradient
@@ -3627,10 +3683,11 @@ def render_vjp_pallas(scene, ct, it0, n_spp, interpret=False,
         raise NotImplementedError(
             "render_vjp_pallas: textured scenes use "
             "render.diff.render_loss_and_grad(engine='planes') — "
-            "measured cost of the exclusion: 3.46 s/grad-iter at "
-            "textured 800x800 d8 vs 146.5 ms for this sweep "
-            "(BENCHMARKS.md 'Gradients'; the texel-gather transpose "
-            "is a scatter Mosaic cannot lower)"
+            "measured cost of the exclusion: 899 ms/grad-iter at "
+            "textured 800x800 d8 (round 5, row-gather taps; was "
+            "3.46 s) vs 50 ms for this sweep (BENCHMARKS.md "
+            "'Gradients'; the texel-gather transpose is a scatter "
+            "Mosaic cannot lower)"
         )
     if scene.mesh.count and not scene.mesh.bvh_meta:
         raise NotImplementedError(
@@ -3720,7 +3777,8 @@ def _state_keys(features, nee):
 def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
                  n_tris=0, features=(True,) * 7, nee_lights=(),
                  bvh_meta=(), rr_mode=False, tex_geom=(),
-                 btex_geom=(), gen=True, state_keys=()):
+                 btex_geom=(), gen=True, state_keys=(),
+                 carry_pixel=False):
     """Bounces [d0, d1) of the trace for one ray tile, state planes
     pixel-ALIGNED in HBM.
 
@@ -3732,7 +3790,7 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
     The lane's pixel id is recomputed from the physical tile, so no
     pixel plane is carried."""
     refs = list(refs)
-    tbl_ref = None if gen else refs.pop(0)
+    tbl_ref = None if (gen or carry_pixel) else refs.pop(0)
     it_ref, cam_ref, mats_ref, gmat_ref = refs[:4]
     rest = refs[4:]
     nee = bool(nee_lights)
@@ -3757,10 +3815,19 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
     counts_ref = rest.pop(0)
 
     i = pl.program_id(0)
-    phys = i if gen else tbl_ref[i]
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-    pixel = (phys * SUB + row) * LANES + lane + it_ref[0, 1]
+    if carry_pixel and not gen:
+        # sorted engine (round 5): the permutation between bounces
+        # breaks tile/pixel alignment, so the pixel id rides the state
+        # as an f32 plane (exact to 2^24) and keys the RNG — any
+        # permutation renders the identical image per ray
+        pixel = in_state[state_keys.index("pix")][:, :].astype(
+            jnp.int32
+        )
+    else:
+        phys = i if gen else tbl_ref[i]
+        pixel = (phys * SUB + row) * LANES + lane + it_ref[0, 1]
     valid = pixel < n_pixels
     pix_u = _u32(pixel)
     fx = (pixel % width).astype(jnp.float32)
@@ -3779,15 +3846,21 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
         if gen:
             st = trace_one.init_state(it_u)
         else:
-            st = {k: r[:, :] for k, r in zip(state_keys, in_state)}
+            st = {k: r[:, :] for k, r in zip(state_keys, in_state)
+                  if k != "pix"}
         st, counts = trace_one.trace_span(
             it_u, st, d0, d1, jnp.zeros((8, LANES), jnp.int32)
         )
+        if carry_pixel:
+            st["pix"] = pixel.astype(jnp.float32)
         for k, r in zip(state_keys, out_state):
             r[:, :] = st[k]
         counts_ref[:, :] = counts
 
-    if gen:
+    if gen or carry_pixel:
+        # sorted engine: full grid every span (dead-sorted tail tiles
+        # exit the BVH walk in one step; their radiance planes must be
+        # carried, so they are written, not predicated off)
         run()
     else:
         @pl.when(i < it_ref[0, 2])
@@ -3798,7 +3871,8 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
 def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
               live_tiles, tbl, state_in, *, resolution, d0, d1,
               geom_types, interpret, features, nee_lights, bvh_meta,
-              rr_mode, tex_geom, btex_geom, state_keys, pix0=0):
+              rr_mode, tex_geom, btex_geom, state_keys, pix0=0,
+              carry_pixel=False):
     """pallas_call wrapper for one span.  ``state_in``/``tbl`` None ->
     phase A (raygen, aligned output).  Resume: ``tbl`` (n_tiles+pad,)
     i32 live-first physical tile table (padding entries = n_tiles, the
@@ -3813,16 +3887,17 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
     tables = texs is not None
     gen = state_in is None
     nk = len(state_keys)
-    out_tiles = n_tiles if gen else n_tiles + 1  # +1 = scratch tile
+    # sorted engine (carry_pixel): identity tiles, no scratch slot
+    out_tiles = n_tiles if (gen or carry_pixel) else n_tiles + 1
 
     kernel = functools.partial(
         _span_kernel, geom_types=geom_types, width=width,
         height=height, d0=d0, d1=d1, n_pixels=n_pixels, n_tris=n_tris,
         features=features, nee_lights=nee_lights, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
-        gen=gen, state_keys=state_keys,
+        gen=gen, state_keys=state_keys, carry_pixel=carry_pixel,
     )
-    if gen:
+    if gen or carry_pixel:
         tile_in = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
         tile_out = tile_in
@@ -3879,7 +3954,7 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
          for _ in range(nk)]
         + [jax.ShapeDtypeStruct((out_tiles * 8, 128), jnp.int32)]
     )
-    if gen:
+    if gen or carry_pixel:
         grid_spec = pl.GridSpec(
             grid=(n_tiles,), in_specs=in_specs,
             out_specs=tuple(out_specs),
@@ -4033,4 +4108,160 @@ def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
     return _batch_split_jit(
         scene, it0, n_iters, split, interpret, _scene_features(scene),
         nee, rr, tg, tu, bg,
+    )
+
+
+# ----------------------------------------------------------------------------
+# sorted engine: per-bounce ray re-sort (round 5)
+# ----------------------------------------------------------------------------
+# The honest mesh timings (BENCHMARKS.md "Mesh scenes") showed deep
+# bounces cost 3-8x MORE per live ray than the coherent camera bounce:
+# the any-lane slab test over a 4096-ray tile stops pruning once
+# bounce directions decohere (bigmesh 800^2 depth sweep: bounce 0 =
+# 184 ms, bounce 2 = 746 ms at 56% live).  The round-2/3 finding that
+# per-lane compaction "costs more than it saves" was measured against
+# a 2.5 ms/iter cornell trace; at 500-900 ms/bounce mesh traversals
+# the conclusion flips.  This engine re-sorts the ray wavefront
+# between EVERY bounce by (dead, quantized origin cell, direction
+# octant): dead rays sink to the back (lane-granular compaction as a
+# byproduct) and live rays group into tiles with coherent
+# origin+direction, which is exactly what the any-lane test prunes
+# well.  The carried pixel id keys the RNG, so ANY permutation renders
+# the bit-identical image per ray; radiance rides with the ray and is
+# un-permuted once at the end (one stable sort by pixel id).
+# Reference anchor: this is the reference's stream-compaction slot
+# (README.md:83-86) finally paying off at lane granularity — on the
+# scenes where the GPU original needed it least and a TPU needs it
+# most.
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iters", "interpret", "features", "nee", "rr", "tex_geom",
+    "tex_used", "btex_geom"))
+def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
+                      nee=False, rr=False, tex_geom=(), tex_used=(),
+                      btex_geom=()):
+    cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom,
+                                              btex_geom)
+    lights, nee_lights = (
+        _pack_lights(scene) if nee else (None, ())
+    )
+    texs = (_pack_textures(scene, tex_used, packed=True)
+            if (tex_geom or btex_geom) else None)
+    width, height = scene.resolution
+    n_pixels = width * height
+    n_tiles = pl.cdiv(n_pixels, TILE)
+    depth = int(scene.trace_depth)
+    state_keys = _state_keys(features, nee) + ("pix",)
+    common = dict(
+        resolution=tuple(scene.resolution),
+        geom_types=tuple(scene.geoms.type), interpret=interpret,
+        features=features, nee_lights=nee_lights,
+        bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
+        btex_geom=btex_geom, state_keys=state_keys, carry_pixel=True,
+    )
+    # world-space bbox for origin quantization: instance centers +-
+    # |scale| covers unit primitives; mesh vertices beyond unit scale
+    # merely saturate the clip (key quality, not correctness)
+    t_g = jnp.asarray(scene.geoms.translation, jnp.float32)
+    s_g = jnp.abs(jnp.asarray(scene.geoms.scale, jnp.float32))
+    lo = jnp.min(t_g - s_g, axis=0)
+    span = jnp.maximum(jnp.max(t_g + s_g, axis=0) - lo, 1e-3)
+
+    def sort_perm(st):
+        live = (st["live"].reshape(-1) > 0.0)
+        q = []
+        for ax, k in enumerate(("ox", "oy", "oz")):
+            v = (st[k].reshape(-1) - lo[ax]) / span[ax]
+            q.append(jnp.clip(v * 31.0, 0.0, 31.0).astype(jnp.int32))
+        oct_ = (
+            ((st["dx"].reshape(-1) > 0).astype(jnp.int32) << 2)
+            | ((st["dy"].reshape(-1) > 0).astype(jnp.int32) << 1)
+            | (st["dz"].reshape(-1) > 0).astype(jnp.int32)
+        )
+        key = (q[0] << 13) | (q[1] << 8) | (q[2] << 3) | oct_
+        # dead rays last (their tiles exit the BVH walk in one step)
+        key = jnp.where(live, key, jnp.int32(1) << 29)
+        return jnp.argsort(key, stable=True).astype(jnp.int32)
+
+    def permute(st, perm):
+        # ONE (N, K) row gather instead of K element gathers: XLA:TPU
+        # element gathers serialize (~8 ms per 640k lanes), row
+        # gathers move contiguous K-wide rows at bandwidth (the same
+        # finding as the planes-engine texture fetch)
+        ks = list(st.keys())
+        mat = jnp.stack([st[k].reshape(-1) for k in ks], axis=1)
+        mat = mat[perm]
+        return {
+            k: mat[:, i].reshape(st[k].shape) for i, k in enumerate(ks)
+        }
+
+    def one_sample(sidx, carry):
+        acc, counts_tot = carry
+        it = jnp.asarray(it0, jnp.int32) + sidx
+        st, cnt_t = _run_span(
+            cam, mats, gmat, tri, nodes, lights, texs, it, 0, None,
+            None, d0=0, d1=1, **common,
+        )
+        counts_tot = counts_tot + cnt_t.sum(0)[:depth]
+        for d in range(1, depth):
+            st = permute(st, sort_perm(st))
+            st, cnt_t = _run_span(
+                cam, mats, gmat, tri, nodes, lights, texs, it, 0,
+                None, st, d0=d, d1=d + 1, **common,
+            )
+            counts_tot = counts_tot + cnt_t.sum(0)[:depth]
+        # un-permute once: every pixel id appears exactly once, so a
+        # stable sort by the carried id restores pixel order
+        order = jnp.argsort(
+            st["pix"].reshape(-1).astype(jnp.int32), stable=True
+        )
+        rad = jnp.stack(
+            [st[k].reshape(-1)[order][:n_pixels]
+             for k in ("rr", "rg", "rb")], axis=-1,
+        )
+        return acc + rad, counts_tot
+
+    acc0 = jnp.zeros((n_pixels, 3), jnp.float32)
+    cnt0 = jnp.zeros((depth,), jnp.int32)
+    return jax.lax.fori_loop(0, n_iters, one_sample, (acc0, cnt0))
+
+
+def pathtrace_batch_sorted(scene, it0, n_iters: int, interpret=False,
+                           nee=False, rr=False):
+    """``n_iters`` samples/pixel on the SORTED engine: one span kernel
+    per bounce, with the whole ray wavefront re-sorted between bounces
+    by (dead, quantized origin cell, direction octant) — see the
+    section comment.  Output equals :func:`pathtrace_batch_pallas`
+    exactly (the carried pixel id keys the RNG; radiance accumulates
+    per ray, so lane position never matters).  Built for mesh scenes,
+    where incoherent-bounce traversal dominates; on primitive-only
+    scenes the sort overhead exceeds the (already tiny) bounce cost.
+    """
+    if _xla_fallback(scene):
+        from ...render.plane_engine import pathtrace_batch_planes
+
+        return pathtrace_batch_planes(scene, it0, n_iters, nee=nee,
+                                      rr=rr)
+    if scene.mesh.count and scene.mesh.bvh_meta:
+        rows = int(scene.mesh.tri_verts.shape[0]) \
+            + int(np.asarray(scene.mesh.bvh_nodes).shape[0])
+        if rows * LANES * 4 > MESH_STREAM_BYTES:
+            # span kernels keep mesh tables resident; over-budget
+            # scenes route to the monolithic streaming engine
+            return pathtrace_batch_pallas(scene, it0, n_iters,
+                                          interpret=interpret,
+                                          nee=nee, rr=rr)
+    used = _tex_used(scene)
+    if used and sum(
+        int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
+        for t in used
+    ) > KTEX_MAX_TEXELS:
+        return pathtrace_batch_pallas(scene, it0, n_iters,
+                                      interpret=interpret, nee=nee,
+                                      rr=rr)
+    tg, tu, bg = _tex_statics(scene)
+    return _batch_sorted_jit(
+        scene, it0, n_iters, interpret, _scene_features(scene), nee,
+        rr, tg, tu, bg,
     )

@@ -85,6 +85,7 @@ SLOW_MODULES = {
     "test_nee",            # 85 — interpret NEE kernels + FD grads
     "test_split",          # 63 — interpret split-engine spans
     "test_stream",         # 48 — interpret streamed-BVH parity (r4)
+    "test_sorted",         # interpret sorted-engine exactness (r5)
     "test_mosaic_compile", # 40 — AOT v5e compiles (libtpu)
     "test_pallas",         # 38 — interpret megakernel parity
 }

@@ -122,3 +122,13 @@ def test_split_engine_compiles(tpu_dev):
     feats = mk._scene_features(sc)
     with jax.default_device(tpu_dev):
         mk._batch_split_jit.lower(sc, 1, 2, 2, False, feats).compile()
+
+
+def test_sorted_engine_compiles(tpu_dev):
+    """The sorted engine's carry-pixel span kernels (per-bounce spans
+    + XLA sort/gather glue between them) on a mesh scene."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_mesh.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    feats = mk._scene_features(sc)
+    with jax.default_device(tpu_dev):
+        mk._batch_sorted_jit.lower(sc, 1, 2, False, feats).compile()

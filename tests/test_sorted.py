@@ -1,0 +1,69 @@
+"""Sorted engine (round 5): per-bounce ray re-sort.
+
+One span kernel per bounce with the whole wavefront re-sorted between
+bounces by (dead, quantized origin cell, direction octant) — the
+reference's stream-compaction slot (/root/reference/README.md:83-86)
+at LANE granularity, built because the honest mesh timings showed
+incoherent bounces cost 3-8x more per live ray than coherent ones
+(BENCHMARKS.md "Mesh scenes" depth sweep).  The carried pixel id keys
+the RNG, so any permutation renders the identical image per ray —
+these tests pin EXACT equality with the monolithic megakernel.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import pathtrace_tpu as pt
+from pathtrace_tpu.ops.pallas.megakernel import (
+    pathtrace_batch_pallas,
+    pathtrace_batch_sorted,
+)
+
+
+def _cmp(scene, nee=False, n=2):
+    a, ca = pathtrace_batch_pallas(scene, 1, n, interpret=True,
+                                   nee=nee)
+    b, cb = pathtrace_batch_sorted(scene, 1, n, interpret=True,
+                                   nee=nee)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+    assert float(np.asarray(a).sum()) > 0
+
+
+@pytest.mark.parametrize("nee", [False, True], ids=["bsdf", "nee"])
+def test_mesh_scene_exact(nee):
+    sc = pt.load_scene("scenes/cornell_mesh.txt")
+    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+    _cmp(sc, nee=nee)
+
+
+def test_glass_scene_exact():
+    """Glass + imperfect specular: the permuted state carries every
+    lobe's continuation exactly."""
+    sc = pt.load_scene("scenes/cornell_glass.txt")
+    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+    _cmp(sc)
+
+
+def test_motion_sss_state_keys():
+    """Scenes with extra state planes (shutter time, SSS medium) carry
+    them through the permutation."""
+    for name in ("cornell_checker", "cornell.txt"):
+        path = name if name.endswith(".txt") else f"{name}.txt"
+        sc = pt.load_scene(f"scenes/{path}")
+        sc = dataclasses.replace(sc, resolution=(16, 16),
+                                 trace_depth=2)
+        _cmp(sc)
+
+
+def test_over_budget_mesh_routes_to_monolithic(monkeypatch):
+    import pathtrace_tpu.ops.pallas.megakernel as mk
+
+    sc = pt.load_scene("scenes/cornell_mesh.txt")
+    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=2)
+    monkeypatch.setattr(mk, "MESH_STREAM_BYTES", 1024)
+    a, _ = pathtrace_batch_sorted(sc, 1, 1, interpret=True)
+    b, _ = pathtrace_batch_pallas(sc, 1, 1, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -470,24 +470,27 @@ SCALE       2 2 2
             )
 
     def test_oversize_fallback_exact(self, ktex_dir):
-        """Scenes over the in-kernel texel caps fall back to the XLA
-        engine bit-for-bit.  Round 5: 'over the caps' means past the
-        STREAMED caps now (KTEX_STREAM_MAX_SIDE) — a wide-but-short
-        map keeps the fixture cheap."""
+        """Scenes the in-kernel tables cannot represent fall back to
+        the XLA engine bit-for-bit.  Round 5: sizes up to the loader
+        clamp all stream in-kernel now, so the single-map fallback
+        route is an off-u8-grid float texture (the packed-word tables
+        are exact only on the u8 grid)."""
         from PIL import Image
 
         from pathtrace_tpu.ops.pallas.megakernel import (
-            KTEX_STREAM_MAX_SIDE, _tex_in_kernel, _xla_fallback,
-            pathtrace_iteration_pallas,
+            _tex_in_kernel, _xla_fallback, pathtrace_iteration_pallas,
         )
 
         rs = np.random.RandomState(13)
         Image.fromarray(
-            (rs.rand(64, KTEX_STREAM_MAX_SIDE + 32, 3) * 255)
-            .astype(np.uint8)
+            (rs.rand(64, 64, 3) * 255).astype(np.uint8)
         ).save(os.path.join(ktex_dir, "big2.png"))
         text = self.SCENE.replace("t32.png", "big2.png")
         scene = pt.parse_scene(text, base_dir=ktex_dir)
+        # nudge off the u8 grid: quantized tables cannot represent it
+        scene = dc.replace(scene, textures=tuple(
+            t * np.float32(0.5) for t in scene.textures
+        ))
         assert _xla_fallback(scene) and not _tex_in_kernel(scene)
         small = dc.replace(scene, resolution=(16, 16), trace_depth=2)
         rp, _ = pathtrace_iteration_pallas(small, 1)
@@ -552,62 +555,70 @@ SCALE       2 2 2
         assert (d > 2e-3).mean() < 0.005
 
     def test_eligibility_caps(self, ktex_dir, tmp_path):
-        """Unreferenced textures neither disqualify nor pack; the
-        total-texel cap routes oversized scenes to the XLA engine."""
+        """Unreferenced textures neither disqualify nor pack.  Round
+        5: any loader-accepted SIZE streams in-kernel, so the
+        disqualifier exercised here is an off-u8-grid float texture —
+        unreferenced it must not matter, referenced it must route the
+        scene to the XLA engine."""
         from PIL import Image
 
         from pathtrace_tpu.ops.pallas.megakernel import (
-            KTEX_MAX_TEXELS, _tex_in_kernel, _tex_used, _xla_fallback,
-        )
-
-        from pathtrace_tpu.ops.pallas.megakernel import (
-            KTEX_STREAM_MAX_SIDE,
+            _tex_in_kernel, _tex_used, _xla_fallback,
         )
 
         rs = np.random.RandomState(11)
-        # past even the round-5 streamed caps (320^2 streams in-kernel
-        # now; 'oversized' = beyond KTEX_STREAM_MAX_SIDE)
         Image.fromarray(
-            (rs.rand(64, KTEX_STREAM_MAX_SIDE + 32, 3) * 255)
-            .astype(np.uint8)
+            (rs.rand(64, 64, 3) * 255).astype(np.uint8)
         ).save(os.path.join(ktex_dir, "big.png"))
-        # an unreferenced material with an oversized texture: scene
-        # still runs in-kernel (review finding: per-material scan)
+        # an unreferenced material with a disqualifying (off-grid)
+        # texture: scene still runs in-kernel (per-material scan)
         text = self.SCENE + (
             "\nMATERIAL 2\nRGB 1 1 1\nSPECEX 0\nSPECRGB 0 0 0\n"
             "REFL 0\nREFR 0\nREFRIOR 0\nEMITTANCE 0\n"
             "TEXTURE big.png\n"
         )
         scene = pt.parse_scene(text, base_dir=ktex_dir)
+        used = _tex_used(scene)
+        assert len(used) == 1
+        off = tuple(
+            t if i in used else t * np.float32(0.5)
+            for i, t in enumerate(scene.textures)
+        )
+        scene = dc.replace(scene, textures=off)
         assert _tex_in_kernel(scene) and not _xla_fallback(scene)
-        assert len(_tex_used(scene)) == 1
-        # referenced oversized texture -> fallback
+        # the same off-grid texture REFERENCED -> fallback
         text2 = self.SCENE.replace("t32.png", "big.png")
         scene2 = pt.parse_scene(text2, base_dir=ktex_dir)
+        scene2 = dc.replace(scene2, textures=tuple(
+            t * np.float32(0.5) for t in scene2.textures
+        ))
         assert not _tex_in_kernel(scene2) and _xla_fallback(scene2)
 
     def test_oversize_bumptex_falls_back(self, ktex_dir):
-        """A BUMPTEX map alone exceeding the in-kernel caps routes the
-        scene to the XLA engine (regression guard for _tex_used's
-        bump-id inclusion in the cap check).  Round 5: the streamed
-        caps took over, so 'oversize' now means past KTEX_STREAM_*
-        (a 320^2 map streams in-kernel instead — TestStreamTex)."""
+        """A BUMPTEX map the in-kernel tables cannot represent routes
+        the scene to the XLA engine (regression guard for _tex_used's
+        bump-id inclusion in the eligibility check).  Round 5: any
+        loader-accepted SIZE streams in-kernel (a 320^2 map no longer
+        falls back — TestStreamTex), so the bump-map disqualifier is
+        an off-u8-grid float height map."""
         from PIL import Image
 
         from pathtrace_tpu.ops.pallas.megakernel import (
-            KTEX_STREAM_MAX_SIDE, _tex_in_kernel, _xla_fallback,
+            _tex_in_kernel, _xla_fallback,
         )
 
         rs = np.random.RandomState(17)
         Image.fromarray(
-            (rs.rand(16, KTEX_STREAM_MAX_SIDE + 32, 3) * 255)
-            .astype(np.uint8)
+            (rs.rand(64, 64, 3) * 255).astype(np.uint8)
         ).save(os.path.join(ktex_dir, "bigbump.png"))
         text = self.SCENE.replace(
             "EMITTANCE   0\nTEXTURE     t32.png",
             "EMITTANCE   0\nBUMPTEX     bigbump.png 0.5",
         )
         scene = pt.parse_scene(text, base_dir=ktex_dir)
+        scene = dc.replace(scene, textures=tuple(
+            t * np.float32(0.5) for t in scene.textures
+        ))
         assert _xla_fallback(scene) and not _tex_in_kernel(scene)
 
     def test_128_texture_in_kernel(self, ktex_dir):
