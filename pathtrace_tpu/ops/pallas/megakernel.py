@@ -3778,7 +3778,7 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
                  n_tris=0, features=(True,) * 7, nee_lights=(),
                  bvh_meta=(), rr_mode=False, tex_geom=(),
                  btex_geom=(), gen=True, state_keys=(),
-                 carry_pixel=False):
+                 carry_pixel=False, stream_mesh=False):
     """Bounces [d0, d1) of the trace for one ray tile, state planes
     pixel-ALIGNED in HBM.
 
@@ -3796,6 +3796,17 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
     nee = bool(nee_lights)
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
+    if stream_mesh:
+        # HBM mesh streaming in span kernels (sorted engine on over-
+        # budget meshes): scratch refs trail everything, same order
+        # as _kernel
+        sem_n = rest.pop()
+        sem_t = rest.pop()
+        node_win = rest.pop()
+        tri_leaf = rest.pop()
+        stream_refs = (tri_leaf, node_win, sem_t, sem_n)
+    else:
+        stream_refs = None
     tri_ref = rest.pop(0) if n_tris else None
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
@@ -3839,6 +3850,7 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
         pix_u=pix_u, fx=fx, fy=fy, valid=valid, nodes=nodes_ref,
         bvh_meta=bvh_meta, rr_mode=rr_mode, tex_geom=tex_geom,
         btex_geom=btex_geom, texr=texr_v, texg=texg_v, texb=texb_v,
+        stream=stream_refs,
     )
     it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
 
@@ -3872,7 +3884,7 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
               live_tiles, tbl, state_in, *, resolution, d0, d1,
               geom_types, interpret, features, nee_lights, bvh_meta,
               rr_mode, tex_geom, btex_geom, state_keys, pix0=0,
-              carry_pixel=False):
+              carry_pixel=False, stream_mesh=False):
     """pallas_call wrapper for one span.  ``state_in``/``tbl`` None ->
     phase A (raygen, aligned output).  Resume: ``tbl`` (n_tiles+pad,)
     i32 live-first physical tile table (padding entries = n_tiles, the
@@ -3890,12 +3902,22 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
     # sorted engine (carry_pixel): identity tiles, no scratch slot
     out_tiles = n_tiles if (gen or carry_pixel) else n_tiles + 1
 
+    stream_mesh = bool(stream_mesh and bvh_meta)
+    if stream_mesh:
+        # pad exactly like _run: aligned slab/window DMAs must never
+        # read past the tables
+        tri = jnp.pad(tri,
+                      ((0, 2 * LEAF_K), (0, LANES - tri.shape[1])))
+        nodes = jnp.pad(
+            nodes, ((0, NODE_WINDOW), (0, LANES - nodes.shape[1]))
+        )
     kernel = functools.partial(
         _span_kernel, geom_types=geom_types, width=width,
         height=height, d0=d0, d1=d1, n_pixels=n_pixels, n_tris=n_tris,
         features=features, nee_lights=nee_lights, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
         gen=gen, state_keys=state_keys, carry_pixel=carry_pixel,
+        stream_mesh=stream_mesh,
     )
     if gen or carry_pixel:
         tile_in = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
@@ -3932,11 +3954,13 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [smem(), vmem(), vmem(), vmem()]
     args = [scal, cam, mats, gmat]
+    mesh_vm = (lambda: pl.BlockSpec(memory_space=pl.ANY)) \
+        if stream_mesh else vmem
     if n_tris:
-        in_specs.append(vmem())
+        in_specs.append(mesh_vm())
         args.append(tri)
         if bvh_meta:
-            in_specs.append(vmem())
+            in_specs.append(mesh_vm())
             args.append(nodes)
     if nee:
         in_specs.append(vmem())
@@ -3954,10 +3978,21 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
          for _ in range(nk)]
         + [jax.ShapeDtypeStruct((out_tiles * 8, 128), jnp.int32)]
     )
+    scratch = ()
+    if stream_mesh:
+        assert gen or carry_pixel, \
+            "streamed spans require the identity-grid (sorted) path"
+        scratch = (
+            pltpu.VMEM((2 * LEAF_K, LANES), jnp.float32),   # tri_leaf
+            pltpu.VMEM((NODE_WINDOW, LANES), jnp.float32),  # node_win
+            pltpu.SemaphoreType.DMA,                        # sem_t
+            pltpu.SemaphoreType.DMA,                        # sem_n
+        )
     if gen or carry_pixel:
         grid_spec = pl.GridSpec(
             grid=(n_tiles,), in_specs=in_specs,
             out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
         )
         call_args = args
     else:
@@ -4137,10 +4172,10 @@ def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_iters", "interpret", "features", "nee", "rr", "tex_geom",
-    "tex_used", "btex_geom"))
+    "tex_used", "btex_geom", "stream"))
 def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
                       nee=False, rr=False, tex_geom=(), tex_used=(),
-                      btex_geom=()):
+                      btex_geom=(), stream=None):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom,
                                               btex_geom)
     lights, nee_lights = (
@@ -4153,12 +4188,19 @@ def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
     n_tiles = pl.cdiv(n_pixels, TILE)
     depth = int(scene.trace_depth)
     state_keys = _state_keys(features, nee) + ("pix",)
+    # same auto-stream decision as _run: over-budget mesh tables stay
+    # in HBM and the span traversal streams them
+    if stream is None and scene.mesh.bvh_meta and tri is not None:
+        rows = tri.shape[0] + (nodes.shape[0] if nodes is not None
+                               else 0)
+        stream = rows * LANES * 4 > MESH_STREAM_BYTES
     common = dict(
         resolution=tuple(scene.resolution),
         geom_types=tuple(scene.geoms.type), interpret=interpret,
         features=features, nee_lights=nee_lights,
         bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
         btex_geom=btex_geom, state_keys=state_keys, carry_pixel=True,
+        stream_mesh=bool(stream),
     )
     # world-space bbox for origin quantization: instance centers +-
     # |scale| covers unit primitives; mesh vertices beyond unit scale
@@ -4179,7 +4221,15 @@ def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
             | ((st["dy"].reshape(-1) > 0).astype(jnp.int32) << 1)
             | (st["dz"].reshape(-1) > 0).astype(jnp.int32)
         )
-        key = (q[0] << 13) | (q[1] << 8) | (q[2] << 3) | oct_
+        # Morton-interleave the 5-bit cells (cubic locality beats
+        # x-major slabs for frustum tightness), octant minor
+        morton = jnp.zeros_like(q[0])
+        for b in range(5):
+            morton = morton \
+                | (((q[0] >> b) & 1) << (3 * b + 2)) \
+                | (((q[1] >> b) & 1) << (3 * b + 1)) \
+                | (((q[2] >> b) & 1) << (3 * b))
+        key = (morton << 3) | oct_
         # dead rays last (their tiles exit the BVH walk in one step)
         key = jnp.where(live, key, jnp.int32(1) << 29)
         return jnp.argsort(key, stable=True).astype(jnp.int32)
@@ -4228,40 +4278,35 @@ def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
 
 
 def pathtrace_batch_sorted(scene, it0, n_iters: int, interpret=False,
-                           nee=False, rr=False):
+                           nee=False, rr=False, stream=None):
     """``n_iters`` samples/pixel on the SORTED engine: one span kernel
     per bounce, with the whole ray wavefront re-sorted between bounces
     by (dead, quantized origin cell, direction octant) — see the
     section comment.  Output equals :func:`pathtrace_batch_pallas`
     exactly (the carried pixel id keys the RNG; radiance accumulates
     per ray, so lane position never matters).  Built for mesh scenes,
-    where incoherent-bounce traversal dominates; on primitive-only
-    scenes the sort overhead exceeds the (already tiny) bounce cost.
+    where incoherent-bounce traversal dominates — over-budget meshes
+    stream their HBM tables inside the spans, same as the monolithic
+    kernel.  On primitive-only scenes the sort overhead exceeds the
+    (already tiny) bounce cost.
     """
     if _xla_fallback(scene):
         from ...render.plane_engine import pathtrace_batch_planes
 
         return pathtrace_batch_planes(scene, it0, n_iters, nee=nee,
                                       rr=rr)
-    if scene.mesh.count and scene.mesh.bvh_meta:
-        rows = int(scene.mesh.tri_verts.shape[0]) \
-            + int(np.asarray(scene.mesh.bvh_nodes).shape[0])
-        if rows * LANES * 4 > MESH_STREAM_BYTES:
-            # span kernels keep mesh tables resident; over-budget
-            # scenes route to the monolithic streaming engine
-            return pathtrace_batch_pallas(scene, it0, n_iters,
-                                          interpret=interpret,
-                                          nee=nee, rr=rr)
     used = _tex_used(scene)
     if used and sum(
         int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
         for t in used
     ) > KTEX_MAX_TEXELS:
+        # streamed TEXTURES are not plumbed into the span kernels
+        # (only streamed meshes are); route to the monolithic engine
         return pathtrace_batch_pallas(scene, it0, n_iters,
                                       interpret=interpret, nee=nee,
                                       rr=rr)
     tg, tu, bg = _tex_statics(scene)
     return _batch_sorted_jit(
         scene, it0, n_iters, interpret, _scene_features(scene), nee,
-        rr, tg, tu, bg,
+        rr, tg, tu, bg, stream=stream,
     )

@@ -132,3 +132,15 @@ def test_sorted_engine_compiles(tpu_dev):
     feats = mk._scene_features(sc)
     with jax.default_device(tpu_dev):
         mk._batch_sorted_jit.lower(sc, 1, 2, False, feats).compile()
+
+
+def test_sorted_streamed_span_compiles(tpu_dev):
+    """Streamed mesh tables inside the sorted spans (DMA windows in
+    the carry-pixel kernel)."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_mesh.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    feats = mk._scene_features(sc)
+    with jax.default_device(tpu_dev):
+        mk._batch_sorted_jit.lower(
+            sc, 1, 2, False, feats, stream=True
+        ).compile()

@@ -58,12 +58,16 @@ def test_motion_sss_state_keys():
         _cmp(sc)
 
 
-def test_over_budget_mesh_routes_to_monolithic(monkeypatch):
-    import pathtrace_tpu.ops.pallas.megakernel as mk
-
+def test_streamed_mesh_spans_exact():
+    """Over-budget meshes stream their HBM tables INSIDE the sorted
+    spans (round-5 follow-up): forced streaming must stay bit-equal to
+    the monolithic kernel (itself stream-parity-pinned in
+    tests/test_stream.py)."""
     sc = pt.load_scene("scenes/cornell_mesh.txt")
-    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=2)
-    monkeypatch.setattr(mk, "MESH_STREAM_BYTES", 1024)
-    a, _ = pathtrace_batch_sorted(sc, 1, 1, interpret=True)
-    b, _ = pathtrace_batch_pallas(sc, 1, 1, interpret=True)
+    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+    a, ca = pathtrace_batch_sorted(sc, 1, 1, interpret=True,
+                                   stream=True)
+    b, cb = pathtrace_batch_pallas(sc, 1, 1, interpret=True)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+    assert float(np.asarray(a).sum()) > 0
