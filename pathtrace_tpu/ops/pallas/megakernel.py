@@ -75,6 +75,14 @@ MESH_STREAM_BYTES = 64 * 1024 * 1024
 # measured 1.3-1.9x on mesh scenes (BENCHMARKS.md "Mesh scenes").
 # False restores the legacy full-fold-in-leaf traversal.
 MESH_WINNER_FOLD_PRIMAL = True
+# Sub-tile traversal (round 5): the primal resident walk runs one
+# while_loop per 8-row vreg group instead of one per (32,128) tile —
+# each walk's any-lane test prunes against 1024 rays instead of 4096
+# and its vector ops are single-vreg, at the cost of re-walking shared
+# nodes per group.  Bit-identical (a group's any-lane test is a subset
+# of the tile's but still a superset of each member lane's hits).
+# Grad modes and the streamed walk keep full-tile traversal.
+MESH_SUBTILE_TRAVERSAL = True
 # The streamed leaf slab is 2*LEAF_K rows starting at the &~7-aligned
 # base, so a leaf fits only if lo (<=7, the alignment remainder) plus
 # count (<=LEAF_K) stays inside it — lowering LEAF_K below 7 in
@@ -287,7 +295,7 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                  nodes=None, bvh_meta=(), rr_mode=False,
                  tex_geom=(), btex_geom=(), texr=None, texg=None,
                  texb=None, tex_fetch=None, bvh_grad=False,
-                 stream=None, tex_stream=None):
+                 stream=None, tex_stream=None, subtile_ok=True):
     """Builds the per-sample tile tracer ``trace_one(it_u, counts_acc)
     -> (final state, counts_acc)`` for one (SUB, LANES) tile of rays.
 
@@ -1464,78 +1472,96 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                 sg = jax.lax.stop_gradient
                 live_sg = None if live is None else sg(live)
 
-                def leaf_w(sl, carry, *, rox=sg(rox), roy=sg(roy),
-                           roz=sg(roz), rdx=sg(rdx), rdy=sg(rdy),
-                           rdz=sg(rdz), tri_sg=tri_ref):
-                    widx, t_loc, vals = carry
-                    # sg per READ, not on the table: tri_ref may be a
-                    # Pallas REF (the vjp kernel's carry mode — ref
-                    # dynamic indexing lowers on Mosaic where a
-                    # value dynamic_slice does not)
-                    tm = lambda k: sg(tri_sg[sl, k])
-                    v0x, v0y, v0z = tm(0), tm(1), tm(2)
-                    e1x, e1y, e1z = tm(3), tm(4), tm(5)
-                    e2x, e2y, e2z = tm(6), tm(7), tm(8)
-                    pvx = rdy * e2z - rdz * e2y
-                    pvy = rdz * e2x - rdx * e2z
-                    pvz = rdx * e2y - rdy * e2x
-                    det = pvx * e1x + pvy * e1y + pvz * e1z
-                    ok = jnp.abs(det) > 1e-12
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                    tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    vv = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
-                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    hit = ok & (u >= 0.0) & (vv >= 0.0) \
-                        & (u + vv <= 1.0) & (tt > 0.0)
-                    upd = hit & (tt < t_loc)
-                    if carry_vals:
-                        vals = tuple(
-                            jnp.where(upd, tm(k), v)
-                            for k, v in enumerate(vals)
+                def run_walk(rox_w, roy_w, roz_w, rdx_w, rdy_w, rdz_w,
+                             irdx_w, irdy_w, irdz_w, live_w, t0_w):
+                    """Detached winner walk over one block of ray
+                    rows — the full (SUB,LANES) tile, or one 8-row
+                    vreg group (MESH_SUBTILE_TRAVERSAL)."""
+                    shape_w = rox_w.shape
+
+                    def leaf_w(sl, carry):
+                        widx, t_loc, vals = carry
+                        # sg per READ, not on the table: tri_ref may
+                        # be a Pallas REF (the vjp kernel's carry mode
+                        # — ref dynamic indexing lowers on Mosaic
+                        # where a value dynamic_slice does not)
+                        tm = lambda k: sg(tri_ref[sl, k])
+                        v0x, v0y, v0z = tm(0), tm(1), tm(2)
+                        e1x, e1y, e1z = tm(3), tm(4), tm(5)
+                        e2x, e2y, e2z = tm(6), tm(7), tm(8)
+                        pvx = rdy_w * e2z - rdz_w * e2y
+                        pvy = rdz_w * e2x - rdx_w * e2z
+                        pvz = rdx_w * e2y - rdy_w * e2x
+                        det = pvx * e1x + pvy * e1y + pvz * e1z
+                        ok = jnp.abs(det) > 1e-12
+                        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                        tvx = rox_w - v0x
+                        tvy = roy_w - v0y
+                        tvz = roz_w - v0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) \
+                            * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (rdx_w * qvx + rdy_w * qvy
+                              + rdz_w * qvz) * inv_det
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) \
+                            * inv_det
+                        hit = ok & (u >= 0.0) & (vv >= 0.0) \
+                            & (u + vv <= 1.0) & (tt > 0.0)
+                        upd = hit & (tt < t_loc)
+                        if carry_vals:
+                            vals = tuple(
+                                jnp.where(upd, tm(k), v)
+                                for k, v in enumerate(vals)
+                            )
+                        return (jnp.where(upd, sl, widx),
+                                jnp.where(upd, tt, t_loc), vals)
+
+                    def trav_w(carry):
+                        n, widx, t_loc, vals = carry
+                        nm = lambda k: nodes_ref[node_off + n, k]
+                        tax, tbx = slab(nm(0), nm(3), rox_w, irdx_w)
+                        tay, tby = slab(nm(1), nm(4), roy_w, irdy_w)
+                        taz, tbz = slab(nm(2), nm(5), roz_w, irdz_w)
+                        tnear = jnp.maximum(
+                            jnp.maximum(tax, tay),
+                            jnp.maximum(taz, jnp.float32(0.0)),
                         )
-                    return (jnp.where(upd, sl, widx),
-                            jnp.where(upd, tt, t_loc), vals)
+                        tfar = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+                        lane_hit = (tnear <= tfar) & (tnear < t_loc)
+                        if live_w is not None:
+                            lane_hit = lane_hit & (live_w > 0.0)
+                        any_hit = jnp.any(lane_hit)
+                        skip = nm(6).astype(jnp.int32)
+                        start = nm(7).astype(jnp.int32)
+                        count = nm(8).astype(jnp.int32)
+                        is_leaf = count > 0
 
-                def trav_w(carry, *, rox=sg(rox), roy=sg(roy),
-                           roz=sg(roz), irdx=sg(irdx), irdy=sg(irdy),
-                           irdz=sg(irdz), slab=slab, leaf_w=leaf_w,
-                           node_off=node_off, tri_off=tri_off,
-                           live=live_sg):
-                    n, widx, t_loc, vals = carry
-                    nm = lambda k: nodes_ref[node_off + n, k]
-                    tax, tbx = slab(nm(0), nm(3), rox, irdx)
-                    tay, tby = slab(nm(1), nm(4), roy, irdy)
-                    taz, tbz = slab(nm(2), nm(5), roz, irdz)
-                    tnear = jnp.maximum(
-                        jnp.maximum(tax, tay),
-                        jnp.maximum(taz, jnp.float32(0.0)),
-                    )
-                    tfar = jnp.minimum(jnp.minimum(tbx, tby), tbz)
-                    lane_hit = (tnear <= tfar) & (tnear < t_loc)
-                    if live is not None:
-                        lane_hit = lane_hit & (live > 0.0)
-                    any_hit = jnp.any(lane_hit)
-                    skip = nm(6).astype(jnp.int32)
-                    start = nm(7).astype(jnp.int32)
-                    count = nm(8).astype(jnp.int32)
-                    is_leaf = count > 0
+                        def do_leaf(c):
+                            return jax.lax.fori_loop(
+                                tri_off + start,
+                                tri_off + start + count, leaf_w, c,
+                            )
 
-                    def do_leaf(c):
-                        return jax.lax.fori_loop(
-                            tri_off + start, tri_off + start + count,
-                            leaf_w, c,
+                        widx, t_loc, vals = jax.lax.cond(
+                            any_hit & is_leaf, do_leaf, lambda c: c,
+                            (widx, t_loc, vals),
                         )
+                        nxt = jnp.where(is_leaf | ~any_hit, skip,
+                                        n + 1)
+                        return nxt, widx, t_loc, vals
 
-                    widx, t_loc, vals = jax.lax.cond(
-                        any_hit & is_leaf, do_leaf, lambda c: c,
-                        (widx, t_loc, vals),
+                    zero_p = jnp.zeros(shape_w, jnp.float32)
+                    vals0 = tuple(zero_p for _ in range(n_vcols)) \
+                        if carry_vals else ()
+                    _, widx, _, wvals = jax.lax.while_loop(
+                        lambda c: c[0] < n_nodes_g, trav_w,
+                        (jnp.int32(0),
+                         jnp.full(shape_w, -1, jnp.int32),
+                         t0_w, vals0),
                     )
-                    nxt = jnp.where(is_leaf | ~any_hit, skip, n + 1)
-                    return nxt, widx, t_loc, vals
+                    return widx, wvals
 
                 if winners is not None:
                     # the reverse sweep hoists traversal OUT of
@@ -1545,15 +1571,57 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                     # this trace call, in call order
                     widx, wvals = winners.pop(0)
                 else:
-                    zero_p = jnp.zeros((SUB, LANES), jnp.float32)
-                    vals0 = tuple(zero_p for _ in range(n_vcols)) \
-                        if carry_vals else ()
-                    _, widx, _, wvals = jax.lax.while_loop(
-                        lambda c: c[0] < n_nodes_g, trav_w,
-                        (jnp.int32(0),
-                         jnp.full((SUB, LANES), -1, jnp.int32),
-                         sg(t0), vals0),
-                    )
+                    # sub-tile only pays on big trees (re-walking an
+                    # 11-node tree 4x measured 2x WORSE on
+                    # cornell_mesh; bigmesh ~2% better) — n_nodes_g is
+                    # static, so the gate is free.  subtile_ok: the
+                    # SPAN kernels exclude it — Mosaic's
+                    # ApplyVectorLayout crashes on the (8,128) slices
+                    # there (vector_extract_strided_slice check
+                    # failure; compiler bug, monolithic kernel
+                    # lowers the same slices fine).
+                    n_grp = (SUB // 8 if (MESH_SUBTILE_TRAVERSAL
+                                          and subtile_ok
+                                          and not bvh_grad
+                                          and rox.shape[0] == SUB
+                                          and n_nodes_g >= 4096)
+                             else 1)
+                    if n_grp == 1:
+                        widx, wvals = run_walk(
+                            sg(rox), sg(roy), sg(roz), sg(rdx),
+                            sg(rdy), sg(rdz), sg(irdx), sg(irdy),
+                            sg(irdz), live_sg, sg(t0),
+                        )
+                    else:
+                        # sub-tile walks: one per 8-row vreg group.
+                        # Each lane's needed nodes are always visited
+                        # by its OWN group's any-lane test (a subset
+                        # never loses a lane's hits), so per-lane
+                        # winners — and the image — stay bit-identical
+                        # while each walk prunes against 1024 rays
+                        # instead of 4096 and its vector ops are
+                        # single-vreg.
+                        parts = []
+                        for gi in range(n_grp):
+                            rs = slice(8 * gi, 8 * (gi + 1))
+                            parts.append(run_walk(
+                                sg(rox)[rs], sg(roy)[rs], sg(roz)[rs],
+                                sg(rdx)[rs], sg(rdy)[rs], sg(rdz)[rs],
+                                sg(irdx)[rs], sg(irdy)[rs],
+                                sg(irdz)[rs],
+                                None if live_sg is None
+                                else live_sg[rs],
+                                sg(t0)[rs],
+                            ))
+                        widx = jnp.concatenate(
+                            [p[0] for p in parts], axis=0
+                        )
+                        wvals = tuple(
+                            jnp.concatenate(
+                                [p[1][k] for p in parts], axis=0
+                            )
+                            for k in range(n_vcols)
+                        ) if carry_vals else ()
                     if collect is not None:
                         collect.append((widx, wvals))
                 # ---- differentiable recompute of the winner's hit:
@@ -3850,7 +3918,7 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
         pix_u=pix_u, fx=fx, fy=fy, valid=valid, nodes=nodes_ref,
         bvh_meta=bvh_meta, rr_mode=rr_mode, tex_geom=tex_geom,
         btex_geom=btex_geom, texr=texr_v, texg=texg_v, texb=texb_v,
-        stream=stream_refs,
+        stream=stream_refs, subtile_ok=False,
     )
     it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
 
