@@ -74,6 +74,37 @@ def main():
             mrays_s=round(rays_s / 1e6, 2),
         )), flush=True)
 
+    if os.environ.get("PT_SCALE_STREAMED", "0") == "1":
+        # round-5 stretch (VERDICT r4 task 8): HBM-streamed mesh
+        # traversal under shard_map.  On the CPU mesh this runs the
+        # interpret-mode kernel on a small scene (the composition
+        # check — bit-equality vs single-device is pinned in
+        # tests/test_parallel.py::TestStreamedSharding); on a pod
+        # slice set PT_SCALE_SCENE=scenes/cornell_hugemesh.txt and the
+        # auto-stream decision engages at the real size.
+        msc = pt.load_scene(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scenes", "cornell_mesh.txt",
+        ))
+        msc = dataclasses.replace(msc, resolution=(32, 32),
+                                  trace_depth=3)
+        mesh = ps.make_mesh(len(devs))
+        on_tpu = devs[0].platform == "tpu"
+        acc, _ = ps.render_sample_sharded_pallas(
+            msc, 1, len(devs), mesh, interpret=not on_tpu, stream=True
+        )
+        np.asarray(acc)
+        t0 = time.time()
+        acc, _ = ps.render_sample_sharded_pallas(
+            msc, 101, len(devs), mesh, interpret=not on_tpu,
+            stream=True,
+        )
+        s = float(np.asarray(acc).sum())
+        print(json.dumps(dict(
+            stage="streamed_mesh_shard_map", devices=len(devs),
+            wall_s=round(time.time() - t0, 3), image_sum=round(s, 2),
+        )), flush=True)
+
     base = results[1]
     n_max = max(results)
     eff = results[n_max] / (base * n_max)
