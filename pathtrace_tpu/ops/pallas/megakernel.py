@@ -83,6 +83,16 @@ MESH_WINNER_FOLD_PRIMAL = True
 # of the tile's but still a superset of each member lane's hits).
 # Grad modes and the streamed walk keep full-tile traversal.
 MESH_SUBTILE_TRAVERSAL = True
+# Sub-tile traversal inside the SPAN kernels (split/sorted engines):
+# gated separately because Mosaic's ApplyVectorLayout crashed on the
+# (8,128) row slices there (vector_extract_strided_slice check
+# failure) when taken directly off the span state loads.  Flipped by
+# experiments / once a lowering that avoids the crash is in place.
+SPAN_SUBTILE = False
+# sub-tile only pays on big trees: re-walking an 11-node tree 4x
+# measured 2x WORSE on cornell_mesh (monolithic).  Module constant so
+# parity tests can drop the gate and exercise the path on small trees.
+SUBTILE_MIN_NODES = 4096
 # The streamed leaf slab is 2*LEAF_K rows starting at the &~7-aligned
 # base, so a leaf fits only if lo (<=7, the alignment remainder) plus
 # count (<=LEAF_K) stays inside it — lowering LEAF_K below 7 in
@@ -1584,7 +1594,8 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                                           and subtile_ok
                                           and not bvh_grad
                                           and rox.shape[0] == SUB
-                                          and n_nodes_g >= 4096)
+                                          and n_nodes_g
+                                          >= SUBTILE_MIN_NODES)
                              else 1)
                     if n_grp == 1:
                         widx, wvals = run_walk(
@@ -1601,17 +1612,39 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         # while each walk prunes against 1024 rays
                         # instead of 4096 and its vector ops are
                         # single-vreg.
+                        # Mosaic's strided-slice rule aborts (hard
+                        # SIGABRT: Array::Slice limits>dim) when the
+                        # source vreg layout is sublane-REPLICATED —
+                        # which bounce-0 camera-ray planes are in the
+                        # span kernels (origin = broadcast scalar;
+                        # the monolithic kernel's loop carry gave
+                        # every plane a concrete layout, which is why
+                        # it never crashed there).  Anchor each plane
+                        # with a select against an all-true sublane-
+                        # varying iota predicate: bit-identical
+                        # (select passes x through untouched — safe
+                        # for -0.0 and the 1/dx inf signs, unlike
+                        # x+0.0) but forces a materialized per-
+                        # sublane layout the slice rule can cut.
+                        row_ok = jax.lax.broadcasted_iota(
+                            jnp.int32, (rox.shape[0], LANES), 0
+                        ) >= 0
+                        anch = lambda x: jnp.where(
+                            row_ok, x, jnp.zeros_like(x)
+                        )
                         parts = []
                         for gi in range(n_grp):
                             rs = slice(8 * gi, 8 * (gi + 1))
                             parts.append(run_walk(
-                                sg(rox)[rs], sg(roy)[rs], sg(roz)[rs],
-                                sg(rdx)[rs], sg(rdy)[rs], sg(rdz)[rs],
-                                sg(irdx)[rs], sg(irdy)[rs],
-                                sg(irdz)[rs],
+                                anch(sg(rox))[rs], anch(sg(roy))[rs],
+                                anch(sg(roz))[rs], anch(sg(rdx))[rs],
+                                anch(sg(rdy))[rs], anch(sg(rdz))[rs],
+                                anch(sg(irdx))[rs],
+                                anch(sg(irdy))[rs],
+                                anch(sg(irdz))[rs],
                                 None if live_sg is None
-                                else live_sg[rs],
-                                sg(t0)[rs],
+                                else anch(live_sg)[rs],
+                                anch(sg(t0))[rs],
                             ))
                         widx = jnp.concatenate(
                             [p[0] for p in parts], axis=0
@@ -3918,7 +3951,7 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
         pix_u=pix_u, fx=fx, fy=fy, valid=valid, nodes=nodes_ref,
         bvh_meta=bvh_meta, rr_mode=rr_mode, tex_geom=tex_geom,
         btex_geom=btex_geom, texr=texr_v, texg=texg_v, texb=texb_v,
-        stream=stream_refs, subtile_ok=False,
+        stream=stream_refs, subtile_ok=SPAN_SUBTILE,
     )
     it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
 

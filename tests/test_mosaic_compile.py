@@ -144,3 +144,26 @@ def test_sorted_streamed_span_compiles(tpu_dev):
         mk._batch_sorted_jit.lower(
             sc, 1, 2, False, feats, stream=True
         ).compile()
+
+
+def test_subtile_span_compiles(tpu_dev):
+    """Sub-tile group walks inside the sorted spans: the strided
+    slices that crashed ApplyVectorLayout (Array::Slice limits>dim on
+    sublane-replicated bounce-0 planes) must keep lowering with the
+    select-anchor fix in place.  Gate dropped so the small tree takes
+    the subtile branch."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_mesh.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    feats = mk._scene_features(sc)
+    mk._batch_sorted_jit.clear_cache()
+    try:
+        mk.SPAN_SUBTILE = True
+        mk.SUBTILE_MIN_NODES = 1
+        with jax.default_device(tpu_dev):
+            mk._batch_sorted_jit.lower(
+                sc, 1, 2, False, feats
+            ).compile()
+    finally:
+        mk.SPAN_SUBTILE = False
+        mk.SUBTILE_MIN_NODES = 4096
+        mk._batch_sorted_jit.clear_cache()

@@ -71,3 +71,32 @@ def test_streamed_mesh_spans_exact():
     assert np.array_equal(np.asarray(a), np.asarray(b))
     assert np.array_equal(np.asarray(ca), np.asarray(cb))
     assert float(np.asarray(a).sum()) > 0
+
+
+@pytest.mark.parametrize("nee", [False, True], ids=["bsdf", "nee"])
+def test_subtile_spans_exact(nee):
+    """Sub-tile traversal inside the sorted spans (SPAN_SUBTILE):
+    bit-equal to the full-tile walk.  The path was blocked by a Mosaic
+    ApplyVectorLayout abort until round 5 root-caused it (strided
+    slices of sublane-REPLICATED planes — bounce-0 camera-ray
+    broadcasts; fixed by the bit-exact select anchor in the subtile
+    branch).  Gate dropped so the 39-node cornell_mesh tree exercises
+    the group walks."""
+    from pathtrace_tpu.ops.pallas import megakernel as mk
+
+    sc = pt.load_scene("scenes/cornell_mesh.txt")
+    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+    a, ca = pathtrace_batch_sorted(sc, 1, 1, interpret=True, nee=nee)
+    mk._batch_sorted_jit.clear_cache()
+    try:
+        mk.SPAN_SUBTILE = True
+        mk.SUBTILE_MIN_NODES = 1
+        b, cb = pathtrace_batch_sorted(sc, 1, 1, interpret=True,
+                                       nee=nee)
+    finally:
+        mk.SPAN_SUBTILE = False
+        mk.SUBTILE_MIN_NODES = 4096
+        mk._batch_sorted_jit.clear_cache()
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+    assert float(np.asarray(a).sum()) > 0
