@@ -231,6 +231,52 @@ def render_pixel_sharded_pallas(scene: Scene, it0: int, n_iters: int,
     return jax.jit(f)(scene, pix0)
 
 
+def render_sample_sharded_sorted(scene: Scene, it0: int, n_iters: int,
+                                 mesh: Mesh, interpret: bool = False,
+                                 nee: bool = False, stream=None):
+    """Sample-sharded rendering on the SORTED engine (per-bounce ray
+    re-sort between span kernels, megakernel.pathtrace_batch_sorted):
+    each device runs its spp slice — sorting its own wavefront locally,
+    no cross-device shuffle — then one image psum.  The carried pixel
+    id keys the RNG, so the psum'd image is bit-identical to a
+    single-device sorted render AND to the monolithic kernel.  The
+    sharded answer for big mesh scenes, where the sort wins 1.3-1.6x
+    (BENCHMARKS.md 'Sorted engine'); over-budget meshes stream their
+    HBM tables inside the spans unchanged (``stream`` forces it, for
+    the CPU-mesh composition tests)."""
+    from ..ops.pallas.megakernel import (
+        _batch_sorted_jit, _scene_features, _tex_statics,
+        _xla_fallback,
+    )
+
+    if _xla_fallback(scene):
+        raise NotImplementedError(
+            "render_sample_sharded_sorted: this scene needs the XLA "
+            "fallback; use render_sample_sharded_planes"
+        )
+    ndev = mesh.devices.size
+    if n_iters % ndev:
+        raise ValueError(f"n_iters={n_iters} not divisible by {ndev}")
+    per_dev = n_iters // ndev
+    its0 = it0 + jnp.arange(ndev, dtype=jnp.int32) * per_dev
+    features = _scene_features(scene)
+    tex_geom, tex_used, btex_geom = _tex_statics(scene)
+
+    def body(scene, it0_local):
+        rad, counts = _batch_sorted_jit(
+            scene, it0_local[0], per_dev, interpret, features, nee,
+            False, tex_geom, tex_used, btex_geom, stream=stream,
+        )
+        return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(f)(scene, its0)
+
+
 def render_sample_sharded_planes(scene: Scene, it0: int, n_iters: int,
                                  mesh: Mesh):
     """Sample-parallel rendering on the fused-plane XLA engine

@@ -410,3 +410,51 @@ class TestStreamedSharding:
         )
         assert np.array_equal(np.asarray(out), np.asarray(ref))
         assert float(np.asarray(out).sum()) > 0
+
+
+class TestSortedSharding:
+    """Round 5: the sorted engine (per-bounce ray re-sort) inside
+    shard_map.  Each device sorts its OWN wavefront (no cross-device
+    shuffle); the psum'd image must be bit-equal to the single-device
+    sorted batch — which tests/test_sorted.py pins against the
+    monolithic kernel, closing the loop across all engines."""
+
+    def test_sample_sharded_sorted_matches_single(self, mesh):
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _batch_sorted_jit, _scene_features,
+        )
+
+        sc = pt.load_scene("scenes/cornell_mesh.txt")
+        sc = dataclasses.replace(sc, resolution=(16, 16),
+                                 trace_depth=3)
+        ndev = mesh.devices.size
+        ref, counts_ref = _batch_sorted_jit(
+            sc, 1, ndev, True, _scene_features(sc),
+        )
+        out, counts = ps.render_sample_sharded_sorted(
+            sc, 1, ndev, mesh, interpret=True
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+        assert np.array_equal(np.asarray(counts),
+                              np.asarray(counts_ref))
+        assert float(np.asarray(out).sum()) > 0
+
+    def test_sorted_streamed_under_shard_map(self, mesh):
+        """Streamed HBM tables inside the sorted spans, sharded: the
+        hugemesh composition (both round-5 designs) on the CPU mesh."""
+        from pathtrace_tpu.ops.pallas.megakernel import (
+            _batch_sorted_jit, _scene_features,
+        )
+
+        sc = pt.load_scene("scenes/cornell_mesh.txt")
+        sc = dataclasses.replace(sc, resolution=(16, 16),
+                                 trace_depth=2)
+        ndev = mesh.devices.size
+        ref, _ = _batch_sorted_jit(
+            sc, 1, ndev, True, _scene_features(sc), stream=True,
+        )
+        out, _ = ps.render_sample_sharded_sorted(
+            sc, 1, ndev, mesh, interpret=True, stream=True
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+        assert float(np.asarray(out).sum()) > 0
