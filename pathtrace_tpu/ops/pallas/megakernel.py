@@ -3879,7 +3879,8 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
                  n_tris=0, features=(True,) * 7, nee_lights=(),
                  bvh_meta=(), rr_mode=False, tex_geom=(),
                  btex_geom=(), gen=True, state_keys=(),
-                 carry_pixel=False, stream_mesh=False):
+                 carry_pixel=False, stream_mesh=False,
+                 stream_tex=False):
     """Bounces [d0, d1) of the trace for one ray tile, state planes
     pixel-ALIGNED in HBM.
 
@@ -3897,10 +3898,22 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
     nee = bool(nee_lights)
     tex_mode = bool(tex_geom) and any(t[0] >= 0 for t in tex_geom)
     btex_mode = bool(btex_geom) and any(t[0] >= 0 for t in btex_geom)
+    # scratch refs trail everything, same order as _kernel: mesh
+    # block first, tex block last -> pop the tex block first
+    if stream_tex:
+        tsem_b = rest.pop()
+        tsem_g = rest.pop()
+        tsem_r = rest.pop()
+        slab_b = rest.pop()
+        slab_g = rest.pop()
+        slab_r = rest.pop()
+        tex_stream_refs = ((slab_r, slab_g, slab_b),
+                           (tsem_r, tsem_g, tsem_b))
+    else:
+        tex_stream_refs = None
     if stream_mesh:
         # HBM mesh streaming in span kernels (sorted engine on over-
-        # budget meshes): scratch refs trail everything, same order
-        # as _kernel
+        # budget meshes)
         sem_n = rest.pop()
         sem_t = rest.pop()
         node_win = rest.pop()
@@ -3912,9 +3925,18 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
     nodes_ref = rest.pop(0) if (n_tris and bvh_meta) else None
     lights_ref = rest.pop(0) if nee else None
     if tex_mode or btex_mode:
-        texr_v = rest.pop(0)[:, :]
-        texg_v = rest.pop(0)[:, :]
-        texb_v = rest.pop(0)[:, :]
+        if stream_tex:
+            # HBM-resident tables: keep the ANY refs — the slab-
+            # serving fetch DMAs 8-row windows on demand (same as
+            # _kernel; round-5 follow-up: the sorted engine's
+            # coherence is exactly what the slab server wants)
+            texr_v = rest.pop(0)
+            texg_v = rest.pop(0)
+            texb_v = rest.pop(0)
+        else:
+            texr_v = rest.pop(0)[:, :]
+            texg_v = rest.pop(0)[:, :]
+            texb_v = rest.pop(0)[:, :]
     else:
         texr_v = texg_v = texb_v = None
     nk = len(state_keys)
@@ -3951,7 +3973,8 @@ def _span_kernel(*refs, geom_types, width, height, d0, d1, n_pixels,
         pix_u=pix_u, fx=fx, fy=fy, valid=valid, nodes=nodes_ref,
         bvh_meta=bvh_meta, rr_mode=rr_mode, tex_geom=tex_geom,
         btex_geom=btex_geom, texr=texr_v, texg=texg_v, texb=texb_v,
-        stream=stream_refs, subtile_ok=SPAN_SUBTILE,
+        stream=stream_refs, tex_stream=tex_stream_refs,
+        subtile_ok=SPAN_SUBTILE,
     )
     it_u = _u32(jnp.full((SUB, LANES), it_ref[0, 0], jnp.int32))
 
@@ -3985,7 +4008,7 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
               live_tiles, tbl, state_in, *, resolution, d0, d1,
               geom_types, interpret, features, nee_lights, bvh_meta,
               rr_mode, tex_geom, btex_geom, state_keys, pix0=0,
-              carry_pixel=False, stream_mesh=False):
+              carry_pixel=False, stream_mesh=False, stream_tex=None):
     """pallas_call wrapper for one span.  ``state_in``/``tbl`` None ->
     phase A (raygen, aligned output).  Resume: ``tbl`` (n_tiles+pad,)
     i32 live-first physical tile table (padding entries = n_tiles, the
@@ -4012,13 +4035,23 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
         nodes = jnp.pad(
             nodes, ((0, NODE_WINDOW), (0, LANES - nodes.shape[1]))
         )
+    # texture streaming in spans: same shape-static decision as _run
+    if stream_tex is None:
+        stream_tex = bool(
+            tables and texs[0].shape[0] > KTEX_RESIDENT_ROWS
+        )
+    stream_tex = bool(tables and stream_tex)
+    if stream_tex:
+        texs = tuple(
+            jnp.pad(t, ((0, (-t.shape[0]) % 8), (0, 0))) for t in texs
+        )
     kernel = functools.partial(
         _span_kernel, geom_types=geom_types, width=width,
         height=height, d0=d0, d1=d1, n_pixels=n_pixels, n_tris=n_tris,
         features=features, nee_lights=nee_lights, bvh_meta=bvh_meta,
         rr_mode=rr_mode, tex_geom=tex_geom, btex_geom=btex_geom,
         gen=gen, state_keys=state_keys, carry_pixel=carry_pixel,
-        stream_mesh=stream_mesh,
+        stream_mesh=stream_mesh, stream_tex=stream_tex,
     )
     if gen or carry_pixel:
         tile_in = lambda: pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
@@ -4067,7 +4100,9 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
         in_specs.append(vmem())
         args.append(lights)
     if tables:
-        in_specs += [vmem()] * 3
+        tex_spec = (lambda: pl.BlockSpec(memory_space=pl.ANY)) \
+            if stream_tex else vmem
+        in_specs += [tex_spec()] * 3
         args += list(texs)
     if not gen:
         in_specs += [tile_in() for _ in range(nk)]
@@ -4088,6 +4123,17 @@ def _run_span(cam, mats, gmat, tri, nodes, lights, texs, it,
             pltpu.VMEM((NODE_WINDOW, LANES), jnp.float32),  # node_win
             pltpu.SemaphoreType.DMA,                        # sem_t
             pltpu.SemaphoreType.DMA,                        # sem_n
+        )
+    if stream_tex:
+        assert gen or carry_pixel, \
+            "streamed-tex spans require the identity-grid (sorted) path"
+        scratch = scratch + (
+            pltpu.VMEM((8, LANES), jnp.int32),              # slab_r
+            pltpu.VMEM((8, LANES), jnp.int32),              # slab_g
+            pltpu.VMEM((8, LANES), jnp.int32),              # slab_b
+            pltpu.SemaphoreType.DMA,                        # tsem_r
+            pltpu.SemaphoreType.DMA,                        # tsem_g
+            pltpu.SemaphoreType.DMA,                        # tsem_b
         )
     if gen or carry_pixel:
         grid_spec = pl.GridSpec(
@@ -4273,10 +4319,10 @@ def pathtrace_batch_split(scene, it0, n_iters: int, split=3,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_iters", "interpret", "features", "nee", "rr", "tex_geom",
-    "tex_used", "btex_geom", "stream"))
+    "tex_used", "btex_geom", "stream", "tex_stream"))
 def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
                       nee=False, rr=False, tex_geom=(), tex_used=(),
-                      btex_geom=(), stream=None):
+                      btex_geom=(), stream=None, tex_stream=None):
     cam, mats, gmat, tri, nodes = _pack_scene(scene, tex_geom,
                                               btex_geom)
     lights, nee_lights = (
@@ -4301,7 +4347,7 @@ def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
         features=features, nee_lights=nee_lights,
         bvh_meta=scene.mesh.bvh_meta, rr_mode=rr, tex_geom=tex_geom,
         btex_geom=btex_geom, state_keys=state_keys, carry_pixel=True,
-        stream_mesh=bool(stream),
+        stream_mesh=bool(stream), stream_tex=tex_stream,
     )
     # world-space bbox for origin quantization: instance centers +-
     # |scale| covers unit primitives; mesh vertices beyond unit scale
@@ -4379,7 +4425,8 @@ def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
 
 
 def pathtrace_batch_sorted(scene, it0, n_iters: int, interpret=False,
-                           nee=False, rr=False, stream=None):
+                           nee=False, rr=False, stream=None,
+                           tex_stream=None):
     """``n_iters`` samples/pixel on the SORTED engine: one span kernel
     per bounce, with the whole ray wavefront re-sorted between bounces
     by (dead, quantized origin cell, direction octant) — see the
@@ -4387,27 +4434,19 @@ def pathtrace_batch_sorted(scene, it0, n_iters: int, interpret=False,
     exactly (the carried pixel id keys the RNG; radiance accumulates
     per ray, so lane position never matters).  Built for mesh scenes,
     where incoherent-bounce traversal dominates — over-budget meshes
-    stream their HBM tables inside the spans, same as the monolithic
-    kernel.  On primitive-only scenes the sort overhead exceeds the
-    (already tiny) bounce cost.
+    AND over-resident textures stream their HBM tables inside the
+    spans, same as the monolithic kernel (the sort groups taps into
+    coherent slabs, which is exactly what the slab-serving texture
+    fetch wants).  On primitive-only scenes the sort overhead exceeds
+    the (already tiny) bounce cost.
     """
     if _xla_fallback(scene):
         from ...render.plane_engine import pathtrace_batch_planes
 
         return pathtrace_batch_planes(scene, it0, n_iters, nee=nee,
                                       rr=rr)
-    used = _tex_used(scene)
-    if used and sum(
-        int(scene.textures[t].shape[0]) * int(scene.textures[t].shape[1])
-        for t in used
-    ) > KTEX_MAX_TEXELS:
-        # streamed TEXTURES are not plumbed into the span kernels
-        # (only streamed meshes are); route to the monolithic engine
-        return pathtrace_batch_pallas(scene, it0, n_iters,
-                                      interpret=interpret, nee=nee,
-                                      rr=rr)
     tg, tu, bg = _tex_statics(scene)
     return _batch_sorted_jit(
         scene, it0, n_iters, interpret, _scene_features(scene), nee,
-        rr, tg, tu, bg, stream=stream,
+        rr, tg, tu, bg, stream=stream, tex_stream=tex_stream,
     )

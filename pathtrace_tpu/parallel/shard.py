@@ -233,7 +233,8 @@ def render_pixel_sharded_pallas(scene: Scene, it0: int, n_iters: int,
 
 def render_sample_sharded_sorted(scene: Scene, it0: int, n_iters: int,
                                  mesh: Mesh, interpret: bool = False,
-                                 nee: bool = False, stream=None):
+                                 nee: bool = False, stream=None,
+                                 tex_stream=None):
     """Sample-sharded rendering on the SORTED engine (per-bounce ray
     re-sort between span kernels, megakernel.pathtrace_batch_sorted):
     each device runs its spp slice — sorting its own wavefront locally,
@@ -266,6 +267,7 @@ def render_sample_sharded_sorted(scene: Scene, it0: int, n_iters: int,
         rad, counts = _batch_sorted_jit(
             scene, it0_local[0], per_dev, interpret, features, nee,
             False, tex_geom, tex_used, btex_geom, stream=stream,
+            tex_stream=tex_stream,
         )
         return jax.lax.psum(rad, "dev"), jax.lax.psum(counts, "dev")
 

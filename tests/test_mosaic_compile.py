@@ -167,3 +167,17 @@ def test_subtile_span_compiles(tpu_dev):
         mk.SPAN_SUBTILE = False
         mk.SUBTILE_MIN_NODES = 4096
         mk._batch_sorted_jit.clear_cache()
+
+
+def test_sorted_streamed_tex_span_compiles(tpu_dev):
+    """Streamed texture tables inside the sorted spans (slab-serving
+    fetch + DMA scratch in the carry-pixel kernel)."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_tex.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    feats = mk._scene_features(sc)
+    tg, tu, bg = mk._tex_statics(sc)
+    with jax.default_device(tpu_dev):
+        mk._batch_sorted_jit.lower(
+            sc, 1, 2, False, feats, False, False, tg, tu, bg,
+            tex_stream=True,
+        ).compile()

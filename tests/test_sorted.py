@@ -100,3 +100,23 @@ def test_subtile_spans_exact(nee):
     assert np.array_equal(np.asarray(a), np.asarray(b))
     assert np.array_equal(np.asarray(ca), np.asarray(cb))
     assert float(np.asarray(a).sum()) > 0
+
+
+def test_streamed_tex_spans_exact():
+    """Over-resident textures stream their HBM tables inside the
+    sorted spans (round-5 follow-up: previously the sorted engine
+    ROUTED big-texture scenes to the monolithic kernel, which lost
+    the sort's mesh-traversal win on combined mesh+texture scenes).
+    Forced tex streaming must stay bit-equal to the monolithic
+    streamed fetch AND to the resident sorted fetch."""
+    sc = pt.load_scene("scenes/cornell_tex.txt")
+    sc = dataclasses.replace(sc, resolution=(16, 16), trace_depth=3)
+    a, _ = pathtrace_batch_pallas(sc, 1, 1, interpret=True,
+                                  tex_stream=True)
+    b, _ = pathtrace_batch_sorted(sc, 1, 1, interpret=True,
+                                  tex_stream=True)
+    c, _ = pathtrace_batch_sorted(sc, 1, 1, interpret=True,
+                                  tex_stream=False)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(b), np.asarray(c))
+    assert float(np.asarray(b).sum()) > 0
