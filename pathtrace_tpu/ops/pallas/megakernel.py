@@ -93,6 +93,10 @@ SPAN_SUBTILE = False
 # measured 2x WORSE on cornell_mesh (monolithic).  Module constant so
 # parity tests can drop the gate and exercise the path on small trees.
 SUBTILE_MIN_NODES = 4096
+# Sorted engine: resort the wavefront before every k-th bounce.  Any
+# value renders the bit-identical image (the carried pixel id keys
+# the RNG); 1 = every bounce, measured fastest on mesh scenes.
+SORT_CADENCE = 1
 # The streamed leaf slab is 2*LEAF_K rows starting at the &~7-aligned
 # base, so a leaf fits only if lo (<=7, the alignment remainder) plus
 # count (<=LEAF_K) stays inside it — lowering LEAF_K below 7 in
@@ -4402,7 +4406,14 @@ def _batch_sorted_jit(scene, it0, n_iters, interpret, features,
         )
         counts_tot = counts_tot + cnt_t.sum(0)[:depth]
         for d in range(1, depth):
-            st = permute(st, sort_perm(st))
+            # SORT_CADENCE: resort before every k-th bounce.  Any
+            # cadence renders the bit-identical image (the carried
+            # pixel id keys the RNG; permutation never matters) —
+            # this is a pure perf knob.  Measured on bigmesh/hugemesh
+            # 800² d8: cadence 1 wins (BENCHMARKS.md "Sorted
+            # engine"); the knob stays for other scene shapes.
+            if (d - 1) % SORT_CADENCE == 0:
+                st = permute(st, sort_perm(st))
             st, cnt_t = _run_span(
                 cam, mats, gmat, tri, nodes, lights, texs, it, 0,
                 None, st, d0=d, d1=d + 1, **common,
