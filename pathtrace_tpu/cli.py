@@ -209,6 +209,18 @@ def main(argv=None) -> int:
             )
         return None
 
+    # Device-resident scene: without this, EVERY chunk call re-uploads
+    # the scene's host numpy arrays (textures, mesh tables) through
+    # the jit boundary — measured 3.6 s -> 1.2 s per 1-spp call on a
+    # 2048² textured scene over the axon tunnel (BENCHMARKS.md
+    # "single-call dispatch").  jax.device_put once; all subsequent
+    # calls see resident jax.Arrays and skip the transfer.  Static
+    # scene facts (shapes, feature flags) derive from metadata, so
+    # engine selection below is unaffected.
+    import jax as _jax
+
+    scene = _jax.device_put(scene)
+
     render_fn = make_render_fn(scene)
 
     session = None
@@ -247,7 +259,9 @@ def main(argv=None) -> int:
             if changed:
                 # the reference's contract (src/main.cpp:74,91-94):
                 # camera change -> iteration 0 -> accumulation restarts
-                scene = dataclasses.replace(scene, camera=new_cam)
+                scene = _jax.device_put(
+                    dataclasses.replace(scene, camera=new_cam)
+                )
                 render_fn = make_render_fn(scene)
                 accum = np.zeros((scene.pixel_count, 3), np.float32)
                 done = 0
