@@ -63,6 +63,12 @@ def main(argv=None):
     )
     err0 = np.abs(tr[light] - true_pos).max()
 
+    # keep the constant scene leaves device-resident across the loop
+    # (BENCHMARKS.md "single-call dispatch")
+    import jax
+
+    cur = jax.device_put(cur)
+
     lr = 150.0
     max_step = 0.3  # world units per iteration
     t0 = time.time()

@@ -64,6 +64,15 @@ def main(argv=None):
     tv0[:, :, 1] += 0.05 * rs.randn(tv_true.shape[0], 3).astype(np.float32)
     tv = jnp.asarray(tv0)
 
+    # device-resident base scene: the loop rebuilds the scene each
+    # step with updated tri_verts; keeping the CONSTANT leaves on
+    # device avoids re-uploading them every call (BENCHMARKS.md
+    # "single-call dispatch")
+    import jax
+
+    scene = jax.device_put(scene)
+    target = jax.device_put(target)
+
     t0 = time.time()
     loss0 = None
     for step in range(args.steps):

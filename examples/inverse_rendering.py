@@ -62,6 +62,13 @@ def main(argv=None):
     # constant keeps stamp-size runs (tests/test_examples.py) moving
     # at the same rate as the full-size demo.
     lr_eff = 0.128
+
+    # keep the constant scene leaves device-resident across the loop
+    # (BENCHMARKS.md "single-call dispatch")
+    import jax
+
+    cur = jax.device_put(cur)
+
     t0 = time.time()
     for step in range(args.steps):
         img = np.asarray(
