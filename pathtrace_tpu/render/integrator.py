@@ -726,6 +726,10 @@ def render(scene: Scene, n_iters: int | None = None, chunk: int = 8,
     display (src/pathtrace.cu:58-60).
     """
     n_iters = n_iters if n_iters is not None else scene.iterations
+    # device-resident scene across chunks: avoids re-uploading the
+    # scene's host arrays every call (BENCHMARKS.md "single-call
+    # dispatch"; no-op if the caller already device_put the scene)
+    scene = jax.device_put(scene)
     accum = jnp.zeros((scene.pixel_count, 3), dtype=jnp.float32)
     done = 0
     while done < n_iters:
