@@ -246,7 +246,13 @@ def main():
         ]
         for metric, n_case, fn in cases:
             try:
-                ms = timed_ms(fn, n_case)
+                if n_case == 1:
+                    # single-call metrics jitter ±40% on the tunnel
+                    # (dispatch latency is host-sensitive) — report
+                    # the median of 3 independent timed calls
+                    ms = sorted(timed_ms(fn, 1) for _ in range(3))[1]
+                else:
+                    ms = timed_ms(fn, n_case)
             except Exception as e:  # a broken secondary never hides
                 secondary.append(dict(metric=metric,
                                       error=str(e)[:200]))
