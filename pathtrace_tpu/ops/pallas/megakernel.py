@@ -97,6 +97,17 @@ SUBTILE_MIN_NODES = 4096
 # value renders the bit-identical image (the carried pixel id keys
 # the RNG); 1 = every bounce, measured fastest on mesh scenes.
 SORT_CADENCE = 1
+# Streamed-texture slab server: skip serve sweeps for slab rows no tap
+# lands in (scalar lax.cond per row).  Measured NULL at 2048^2 (12
+# interleaved samples: medians 1112 vs 1152 ms, mins within 1%) and
+# HARMFUL at <=1024^2 (535->752 ms at 512^2) — the serve sweep
+# overlaps the next slab's DMA, so skipping it buys nothing.  Kept
+# lowerable (parity + AOT tests) but OFF; see BENCHMARKS.md.
+TEX_STREAM_ROWSKIP = False
+# ...enabled only past this many word rows (2048^2 maps and up); below
+# it the per-row cond is pure overhead (measured, BENCHMARKS.md).
+# Module constant so parity tests can drop it.
+TEX_ROWSKIP_MIN_ROWS = 4096
 # The streamed leaf slab is 2*LEAF_K rows starting at the &~7-aligned
 # base, so a leaf fits only if lo (<=7, the alignment remainder) plus
 # count (<=LEAF_K) stays inside it — lowering LEAF_K below 7 in
@@ -355,6 +366,13 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
 
     if tex_stream is not None:
         t_slabs, t_sems = tex_stream
+        # row-skip pays only when taps are SPARSE in slab rows: at
+        # ≤1024² (≤2048 word rows) most slab rows carry a tap and the
+        # per-row scalar cond is pure overhead (measured 535→752
+        # ms/iter at 512²); at 2048² (8192 rows) the skip wins 1.26x
+        # (975 vs 1230).  Static threshold at trace time.
+        _rowskip = TEX_STREAM_ROWSKIP and \
+            texr.shape[0] > TEX_ROWSKIP_MIN_ROWS
 
         def fetch3(idxs):
             """All-channel texel taps from HBM-resident u8-packed
@@ -417,15 +435,38 @@ def _make_tracer(cam, mats, gmat, tri, lights, *, geom_types, width,
                         jnp.broadcast_to(slab[j:j + 1, :], shape)
                         for slab in t_slabs
                     ]
-                    for t in range(n_t):
-                        m = (uns[t] > 0) & (rows_t[t] == ra + j)
-                        for ch in range(3):
-                            g = jnp.take_along_axis(
-                                rowv[ch], lanes_t[t], axis=1
-                            )
-                            k = ch * n_t + t
-                            words[k] = jnp.where(m, g, words[k])
-                        uns[t] = jnp.where(m, 0, uns[t])
+                    ms = [(uns[t] > 0) & (rows_t[t] == ra + j)
+                          for t in range(n_t)]
+                    anym = ms[0]
+                    for m in ms[1:]:
+                        anym = anym | m
+
+                    # row-skip (round 5): when taps are scattered,
+                    # most of a slab's 8 rows serve nothing — the
+                    # lane gathers are the expensive part, so skip
+                    # them behind one scalar any-test per row.
+                    # Bit-identical: the skipped serve is a no-op.
+                    def serve(c, rowv=rowv, ms=ms):
+                        w, u = list(c[0]), list(c[1])
+                        for t in range(n_t):
+                            for ch in range(3):
+                                g = jnp.take_along_axis(
+                                    rowv[ch], lanes_t[t], axis=1
+                                )
+                                k = ch * n_t + t
+                                w[k] = jnp.where(ms[t], g, w[k])
+                            u[t] = jnp.where(ms[t], 0, u[t])
+                        return tuple(w), tuple(u)
+
+                    if _rowskip:
+                        words_uns = jax.lax.cond(
+                            jnp.any(anym), serve, lambda c: c,
+                            (tuple(words), tuple(uns)),
+                        )
+                    else:
+                        words_uns = serve((tuple(words), tuple(uns)))
+                    words = list(words_uns[0])
+                    uns = list(words_uns[1])
                 return tuple(words), tuple(uns)
 
             words, _ = jax.lax.while_loop(cond, body, init)

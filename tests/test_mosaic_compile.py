@@ -181,3 +181,26 @@ def test_sorted_streamed_tex_span_compiles(tpu_dev):
             sc, 1, 2, False, feats, False, False, tg, tu, bg,
             tex_stream=True,
         ).compile()
+
+
+def test_rowskip_stream_tex_compiles(tpu_dev):
+    """The slab-server row-skip (per-row scalar lax.cond around the
+    serve sweep) must stay Mosaic-lowerable — threshold dropped so
+    the small map takes the cond path."""
+    sc = dc.replace(pt.load_scene("scenes/cornell_tex.txt"),
+                    resolution=(64, 64), trace_depth=3)
+    feats = mk._scene_features(sc)
+    tg, tu, bg = mk._tex_statics(sc)
+    mk._batch_jit.clear_cache()
+    try:
+        mk.TEX_STREAM_ROWSKIP = True
+        mk.TEX_ROWSKIP_MIN_ROWS = 0
+        with jax.default_device(tpu_dev):
+            mk._batch_jit.lower(
+                sc, 1, 2, False, False, feats, False, False, tg, tu,
+                bg, tex_stream=True,
+            ).compile()
+    finally:
+        mk.TEX_STREAM_ROWSKIP = False
+        mk.TEX_ROWSKIP_MIN_ROWS = 4096
+        mk._batch_jit.clear_cache()

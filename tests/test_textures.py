@@ -892,3 +892,34 @@ class TestStreamTex:
         a, _ = pathtrace_batch_split(sc, 1, 1, split=1, interpret=True)
         b, _ = pathtrace_batch_pallas(sc, 1, 1, interpret=True)
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rowskip_stream_matches_resident(tmp_path):
+    """Slab-server row-skip (TEX_ROWSKIP_MIN_ROWS, round-5 follow-up):
+    serving only slab rows a tap lands in must be bit-identical —
+    threshold dropped so a small map exercises the lax.cond path."""
+    from PIL import Image
+
+    from pathtrace_tpu.ops.pallas import megakernel as mk
+
+    rs = np.random.RandomState(5)
+    Image.fromarray(
+        (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+    ).save(str(tmp_path / "t32.png"))
+    text = TestPallasInKernel.SCENE.replace("t32.png", "t32.png")
+    sc = pt.parse_scene(text, base_dir=str(tmp_path))
+    sc = dc.replace(sc, resolution=(16, 16), trace_depth=3)
+    a, _ = mk.pathtrace_batch_pallas(sc, 1, 2, interpret=True,
+                                     tex_stream=False)
+    mk._batch_jit.clear_cache()
+    try:
+        mk.TEX_STREAM_ROWSKIP = True
+        mk.TEX_ROWSKIP_MIN_ROWS = 0
+        b, _ = mk.pathtrace_batch_pallas(sc, 1, 2, interpret=True,
+                                         tex_stream=True)
+    finally:
+        mk.TEX_STREAM_ROWSKIP = False
+        mk.TEX_ROWSKIP_MIN_ROWS = 4096
+        mk._batch_jit.clear_cache()
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert float(np.asarray(a).sum()) > 0
